@@ -1,0 +1,230 @@
+"""NeRF model: coarse/fine rendering and the training objective (functional).
+
+The reference wraps this in a Keras ``Model`` with a custom ``train_step``
+(``src/NeRF.py``); here it is a set of pure functions over a parameter pytree
+``{"coarse": mlp_params, "fine": mlp_params | None}`` plus a frozen config —
+the natural shape for ``jax.jit`` / ``shard_map`` and for swapping the MLP
+evaluation between the plain-XLA path and the fused Pallas kernel.
+
+Semantics reproduced exactly (they differ between train and render in the
+reference, which matters for parity):
+
+- Training (``src/NeRF.py:136-167``): fresh stratified coarse z per step;
+  coarse MSE; fine z = **only** the ``n_fine`` values resampled from the
+  coarse weights (no merge with coarse z, ``src/NeRF.py:155-156``); fine MSE;
+  total loss = sum. The resampling is *inside* the differentiated region.
+- Rendering (``src/NeRF.py:109-134``): fine pass sees
+  ``sort(concat(z_resampled, z_coarse))`` — ``n_coarse + n_fine`` samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_and_dietnerf_tpu.core import cameras, encoding, rendering, sampling
+from nerf_and_dietnerf_tpu.core.rendering import RenderResult
+from nerf_and_dietnerf_tpu.models import mlp as mlp_lib
+from nerf_and_dietnerf_tpu.models.mlp import MLPConfig
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    """Model + render hyperparameters (YAML ``neural_net`` / ``render``
+    sections; reference ``src/ConfigurationKeys.py:64-111``)."""
+
+    mlp: MLPConfig = MLPConfig()
+    n_samples_coarse: int = 64
+    n_samples_fine: int = 128   # 0 => no fine network
+    near: float = 2.0
+    far: float = 6.0
+    compute_dtype: Any = jnp.bfloat16  # fast path; use float32 for parity tests
+    backend: str = "xla"               # "xla" | "pallas" MLP evaluation
+
+    @property
+    def has_fine(self) -> bool:
+        return self.n_samples_fine > 0
+
+
+def init_params(key, config: NeRFConfig) -> Params:
+    k_coarse, k_fine = jax.random.split(key)
+    params: Params = {"coarse": mlp_lib.init_params(k_coarse, config.mlp)}
+    params["fine"] = mlp_lib.init_params(k_fine, config.mlp) if config.has_fine else None
+    return params
+
+
+def _mlp_apply(config: NeRFConfig):
+    if config.backend == "pallas":
+        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+
+        return raymarch_pallas.apply_mlp_fused
+    return mlp_lib.apply_mlp
+
+
+def render_rays(
+    mlp_params: Params,
+    config: NeRFConfig,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    z_values: jnp.ndarray,
+) -> RenderResult:
+    """Evaluate one network along the given z samples and composite.
+
+    :param rays_orig: ``(rays, 4)`` origins.
+    :param rays_dirs: ``(rays, 4)`` unnormalized directions.
+    :param z_values: ``(rays, samples)``.
+
+    Reference behavior: ``src/UtilsNeuralRadianceField.py:181-211``
+    (``render_rays``), including feeding the **per-ray** (not per-sample)
+    direction components to the view branch, broadcast over samples.
+    """
+    n_rays, n_samples = z_values.shape
+    points = cameras.sample_points_along_rays(rays_orig, rays_dirs, z_values)[..., :3]
+    enc_xyz = encoding.encode_xyz(points.reshape(-1, 3), config.mlp.n_freq_xyz)
+
+    enc_dir = None
+    if config.mlp.uses_view_dirs:
+        comps = cameras.view_direction_components(rays_dirs, config.mlp.n_angles)
+        enc_d = encoding.encode_view_dirs(comps, config.mlp.n_freq_dir)  # (rays, D)
+        enc_dir = jnp.broadcast_to(
+            enc_d[:, None, :], (n_rays, n_samples, enc_d.shape[-1])
+        ).reshape(n_rays * n_samples, -1)
+
+    raw = _mlp_apply(config)(
+        mlp_params, config.mlp, enc_xyz, enc_dir, compute_dtype=config.compute_dtype
+    )
+    return rendering.composite(raw.reshape(n_rays, n_samples, 4), z_values)
+
+
+def render(
+    params: Params,
+    config: NeRFConfig,
+    key,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    n_samples_coarse: Optional[int] = None,
+    n_samples_fine: Optional[int] = None,
+) -> Tuple[RenderResult, jnp.ndarray]:
+    """Render-path evaluation (eval / serving): coarse pass, then a fine pass
+    over the merged+sorted sample set.
+
+    :return: ``(result, z_values)`` where ``result`` is the fine result when a
+        fine network exists, else the coarse result (matches
+        ``src/NeRF.py:109-134``).
+    """
+    n_c = n_samples_coarse or config.n_samples_coarse
+    n_f = n_samples_fine or config.n_samples_fine
+    k_strat, k_resample = jax.random.split(key)
+
+    z = sampling.stratified_z_values(
+        k_strat, config.near, config.far, (rays_orig.shape[0],), n_c
+    )
+    result = render_rays(params["coarse"], config, rays_orig, rays_dirs, z)
+    if params.get("fine") is not None and n_f > 0:
+        z = sampling.merged_fine_z_values(k_resample, result.weights, z, n_f)
+        result = render_rays(params["fine"], config, rays_orig, rays_dirs, z)
+    return result, z
+
+
+def training_losses(
+    params: Params,
+    config: NeRFConfig,
+    key,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    target_rgb: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Training objective: coarse MSE + fine MSE (fine over resampled-only z).
+
+    :return: ``(loss, metrics)`` with metrics ``loss`` / ``psnr_coarse`` /
+        ``psnr_fine`` matching the reference's train-step metric dict
+        (``src/NeRF.py:169-178``).
+    """
+    k_strat, k_resample = jax.random.split(key)
+    z = sampling.stratified_z_values(
+        k_strat, config.near, config.far, (rays_orig.shape[0],), config.n_samples_coarse
+    )
+    coarse = render_rays(params["coarse"], config, rays_orig, rays_dirs, z)
+    mse_coarse = jnp.mean(jnp.square(target_rgb - coarse.rgb))
+    loss = mse_coarse
+    metrics = {"psnr_coarse": rendering.psnr_from_mse(mse_coarse)}
+
+    if params.get("fine") is not None:
+        z_fine = sampling.resample_z_from_weights(
+            k_resample, coarse.weights, z, config.n_samples_fine
+        )
+        fine = render_rays(params["fine"], config, rays_orig, rays_dirs, z_fine)
+        mse_fine = jnp.mean(jnp.square(target_rgb - fine.rgb))
+        loss = loss + mse_fine
+        metrics["psnr_fine"] = rendering.psnr_from_mse(mse_fine)
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_samples_coarse", "n_samples_fine"))
+def _render_chunk(params, config, key, orig, dirs, n_samples_coarse, n_samples_fine):
+    result, z = render(params, config, key, orig, dirs, n_samples_coarse, n_samples_fine)
+    return result, z
+
+
+def render_image(
+    params: Params,
+    config: NeRFConfig,
+    key,
+    c2w,
+    field_of_view,
+    height: int,
+    width: int,
+    chunk_size: int = 16384,
+    n_samples_coarse: Optional[int] = None,
+    n_samples_fine: Optional[int] = None,
+) -> Tuple[RenderResult, jnp.ndarray]:
+    """Full-frame render, chunked over rays to bound peak memory.
+
+    Host-side chunk loop like the reference (``src/NeRF.py:190-246``), but over
+    fixed-size chunks (the ray count is padded up) so every chunk reuses one
+    compiled executable. For the sharded multi-chip version see
+    ``parallel/render_tiles.py``.
+
+    :return: ``(RenderResult with (h, w, ...) shapes, z_values (h, w, S))``.
+    """
+    orig, dirs = cameras.rays_for_image(height, width, field_of_view, c2w)
+    n_rays = orig.shape[0]
+    chunk = min(chunk_size, n_rays)
+    n_chunks = -(-n_rays // chunk)
+    pad = n_chunks * chunk - n_rays
+    if pad:
+        orig = jnp.concatenate([orig, jnp.broadcast_to(orig[-1:], (pad, 4))], axis=0)
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 4))], axis=0)
+
+    keys = jax.random.split(key, n_chunks)
+    parts = [
+        _render_chunk(
+            params, config, keys[i],
+            jax.lax.dynamic_slice_in_dim(orig, i * chunk, chunk),
+            jax.lax.dynamic_slice_in_dim(dirs, i * chunk, chunk),
+            n_samples_coarse, n_samples_fine,
+        )
+        for i in range(n_chunks)
+    ]
+    results = [p[0] for p in parts]
+    zs = [p[1] for p in parts]
+    merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:n_rays], *results)
+    z = jnp.concatenate(zs, axis=0)[:n_rays]
+    return (
+        RenderResult(
+            rgb=merged.rgb.reshape(height, width, 3),
+            weights=merged.weights.reshape(height, width, -1),
+            cumprod=merged.cumprod.reshape(height, width, -1),
+            alpha=merged.alpha.reshape(height, width, -1),
+            sample_rgb=merged.sample_rgb.reshape(height, width, merged.sample_rgb.shape[-2], 3),
+        ),
+        z.reshape(height, width, -1),
+    )

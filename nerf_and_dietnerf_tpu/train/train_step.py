@@ -1,0 +1,102 @@
+"""Jitted training step: Adam on the coarse+fine MSE objective, DP over rays.
+
+Replaces the reference's Keras ``train_step`` + ``model.fit`` machinery
+(``src/NeRF.py:136-178``, ``src/ExecutionRun.py:190-192``) with a pure jitted
+function over an explicit train state. bfloat16 matmuls with float32 master
+weights replace the reference's float16 loss-scaling (``src/NeRF.py:159-167``)
+— bf16 has the fp32 exponent range, so no loss scale is needed on TPU.
+
+Sharding: the ray batch is split over the mesh's ``data`` axis; params and
+optimizer state are replicated. With replicated out-shardings on the grads,
+XLA inserts the gradient all-reduce (``psum`` over ICI) inside the step and
+overlaps it with the backward pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from nerf_and_dietnerf_tpu.models import nerf
+from nerf_and_dietnerf_tpu.models.nerf import NeRFConfig
+from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
+
+Params = Dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Full training state — all of it is checkpointed (the reference persists
+    weights only, resetting Adam moments on resume; SURVEY §5)."""
+
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(learning_rate: float = 5e-4) -> optax.GradientTransformation:
+    """Adam with the reference's defaults (``src/ExecutionRun.py:226``,
+    lr from YAML ``training.optimizer_learning_rate``)."""
+    return optax.adam(learning_rate)
+
+
+def init_train_state(key, config: NeRFConfig, optimizer) -> TrainState:
+    params = nerf.init_params(key, config)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_step(
+    state: TrainState,
+    key,
+    batch: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    *,
+    config: NeRFConfig,
+    optimizer,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One SGD step on a ray batch ``(origins, directions, rgb)``."""
+    orig, dirs, rgb = batch
+
+    def loss_fn(params):
+        return nerf.training_losses(params, config, key, orig, dirs, rgb)
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+def make_train_step(
+    config: NeRFConfig,
+    optimizer,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted (and, with a mesh, sharded) train step.
+
+    With a mesh: batch in-shardings are split over ``data``; state is
+    replicated in and out, which makes XLA reduce the gradients across chips
+    (ICI all-reduce) before the replicated Adam update.
+    """
+    step = functools.partial(train_step, config=config, optimizer=optimizer)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, (data, data, data)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -1,0 +1,224 @@
+"""Epoch-loop training driver — the TPU-native ``_training`` task.
+
+Replaces the reference's Keras ``model.fit`` epoch loop
+(``src/ExecutionRun.py:169-201``): a host loop over epochs, a jitted (and
+mesh-sharded) step over ray batches, per-epoch full-frame eval renders with
+PSNR tracking, reference-format ``.h5`` + PSNR-npy artifacts, full-train-state
+Orbax checkpoints, and per-epoch plots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_and_dietnerf_tpu.data import loaders, pipeline
+from nerf_and_dietnerf_tpu.data.loaders import Dataset
+from nerf_and_dietnerf_tpu.models import nerf
+from nerf_and_dietnerf_tpu.models.nerf import NeRFConfig
+from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
+from nerf_and_dietnerf_tpu.train import checkpoint, train_step as ts
+from nerf_and_dietnerf_tpu.utils.config import RunConfig
+
+
+@dataclasses.dataclass
+class EpochStats:
+    epoch: int
+    loss: float
+    psnr_train: float
+    psnr_test: float
+    rays_per_sec: float
+    seconds: float
+
+
+class Trainer:
+    """Drives training for one run config over one dataset.
+
+    :param run: parsed YAML run config.
+    :param dataset: loaded scene.
+    :param save_dir: run artifact directory (weights, PSNR history, plots).
+    :param mesh: optional device mesh; None => single-device jit.
+    :param epoch_callback: called with (trainer, EpochStats) after each epoch
+        (the task runner hooks plotting and GCS backup here, mirroring
+        ``src/ExecutionRun.py:193-201``).
+    """
+
+    def __init__(
+        self,
+        run: RunConfig,
+        dataset: Dataset,
+        save_dir,
+        mesh=None,
+        epoch_callback: Optional[Callable] = None,
+        make_losses=None,
+    ):
+        self.run = run
+        self.dataset = dataset
+        self.save_dir = Path(save_dir)
+        self.mesh = mesh
+        self.epoch_callback = epoch_callback
+
+        self.config: NeRFConfig = run.nerf_config()
+        self.optimizer = ts.make_optimizer(run.optimizer_lr)
+
+        train_idx = loaders.train_test_split_indices(
+            len(dataset), run.test_img_idx, run.pics_indices_to_use_in_dataset
+        )
+        self.train_indices = train_idx
+        self.data = pipeline.RayDataset(
+            dataset.images[train_idx],
+            dataset.camera_poses[train_idx],
+            dataset.field_of_view,
+            run.n_rays_in_batch_train,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+
+        self.state = ts.init_train_state(
+            jax.random.PRNGKey(0), self.config, self.optimizer
+        )
+        self.start_epoch = 0
+        self._maybe_resume()
+
+        self._step = ts.make_train_step(self.config, self.optimizer, mesh=mesh)
+        self.ckpt = checkpoint.CheckpointManager(self.save_dir / "orbax")
+        self.psnrs_test: List[float] = []
+        self.psnrs_train: List[float] = []
+        if self.start_epoch > 0:
+            self.psnrs_test, self.psnrs_train = checkpoint.load_psnr_history(
+                self.save_dir, self.start_epoch
+            )
+
+    def _maybe_resume(self) -> None:
+        """Resume semantics of the reference (``src/ExecutionRun.py:228-231``):
+        a non-negative ``starting_epoch_number`` loads that epoch's ``.h5``.
+        If an Orbax checkpoint exists for the same step, prefer it — it also
+        restores the optimizer moments the ``.h5`` cannot carry."""
+        epoch = self.run.starting_epoch_number
+        if epoch is None or epoch < 0:
+            return
+        h5 = checkpoint.nerf_h5_path(self.save_dir, epoch)
+        if h5.exists():
+            params = checkpoint.load_keras_h5(
+                h5, self.config.mlp, has_fine=self.config.has_fine
+            )
+            self.state = ts.TrainState(
+                params=params,
+                opt_state=self.optimizer.init(params),
+                step=jnp.asarray(epoch * self.data.batches_per_epoch, jnp.int32),
+            )
+        self.start_epoch = epoch
+        mgr = checkpoint.CheckpointManager(self.save_dir / "orbax")
+        if mgr.latest_step() == epoch:
+            restored = mgr.restore(epoch, template=self.state)
+            if restored is not None:
+                self.state = restored
+
+    # ------------------------------------------------------------------ #
+
+    def train_epoch(self, epoch: int) -> EpochStats:
+        """One pass over the (permuted) ray table."""
+        key = jax.random.PRNGKey(epoch)
+        k_perm, k_steps = jax.random.split(key)
+        t0 = time.perf_counter()
+        n_batches = self.data.batches_per_epoch
+        step_keys = jax.random.split(k_steps, n_batches)
+        metrics = {}
+        for i, (orig, dirs, rgb) in enumerate(self.data.epoch(k_perm)):
+            if self.mesh is not None:
+                batch = mesh_lib.make_global_batch(self.mesh, orig, dirs, rgb)
+            else:
+                batch = (jnp.asarray(orig), jnp.asarray(dirs), jnp.asarray(rgb))
+            self.state, metrics = self._step(self.state, step_keys[i], batch)
+        jax.block_until_ready(metrics)
+        dt = time.perf_counter() - t0
+
+        psnr_train, psnr_test = self._eval_psnrs(epoch)
+        self.psnrs_train.append(psnr_train)
+        self.psnrs_test.append(psnr_test)
+        stats = EpochStats(
+            epoch=epoch,
+            loss=float(metrics.get("loss", jnp.nan)),
+            psnr_train=psnr_train,
+            psnr_test=psnr_test,
+            rays_per_sec=n_batches * self.run.n_rays_in_batch_train / dt,
+            seconds=dt,
+        )
+        return stats
+
+    def _eval_psnrs(self, epoch: int):
+        """Full-frame train + test renders and their PSNRs
+        (reference ``src/ExecutionRun.py:265-302``)."""
+        from nerf_and_dietnerf_tpu.core import rendering
+
+        ds = self.dataset
+        key = jax.random.PRNGKey(10_000 + epoch)
+        out = []
+        for idx in (self.run.idx_train_img_to_plot, self.run.test_img_idx):
+            result, _ = nerf.render_image(
+                self.state.params,
+                self.config,
+                key,
+                ds.camera_poses[idx],
+                ds.field_of_view,
+                ds.height,
+                ds.width,
+                chunk_size=self.run.n_rays_in_batch_render,
+            )
+            out.append(float(rendering.psnr(jnp.asarray(ds.images[idx]), result.rgb)))
+        return out[0], out[1]
+
+    def render_eval_images(self, epoch: int):
+        """The two full-frame renders used by the per-epoch plot."""
+        ds = self.dataset
+        key = jax.random.PRNGKey(10_000 + epoch)
+        renders = {}
+        for name, idx in (
+            ("train", self.run.idx_train_img_to_plot),
+            ("test", self.run.test_img_idx),
+        ):
+            result, _ = nerf.render_image(
+                self.state.params, self.config, key,
+                ds.camera_poses[idx], ds.field_of_view, ds.height, ds.width,
+                chunk_size=self.run.n_rays_in_batch_render,
+            )
+            renders[name] = (idx, np.asarray(result.rgb))
+        return renders
+
+    def save_epoch_artifacts(self, epoch: int) -> None:
+        """Reference-format ``.h5`` weights + PSNR history, plus the Orbax
+        full-state checkpoint (``src/ExecutionRun.py:558-575``)."""
+        if jax.process_index() == 0:
+            checkpoint.save_keras_h5(
+                checkpoint.nerf_h5_path(self.save_dir, epoch),
+                jax.device_get(self.state.params),
+                self.config.mlp,
+            )
+            checkpoint.save_psnr_history(
+                self.save_dir, epoch, self.psnrs_test, self.psnrs_train
+            )
+        self.ckpt.save(epoch, jax.device_get(self.state))
+
+    def fit(self, n_epochs: Optional[int] = None, log=print) -> List[EpochStats]:
+        """Run the full training task (``src/ExecutionRun.py:169-201``)."""
+        n_epochs = n_epochs if n_epochs is not None else self.run.n_epochs
+        history = []
+        for epoch in range(self.start_epoch + 1, n_epochs + 1):
+            stats = self.train_epoch(epoch)
+            self.save_epoch_artifacts(epoch)
+            if log is not None:
+                log(
+                    f"epoch {epoch}/{n_epochs}: loss={stats.loss:.5f} "
+                    f"psnr_train={stats.psnr_train:.2f} psnr_test={stats.psnr_test:.2f} "
+                    f"{stats.rays_per_sec:,.0f} rays/s ({stats.seconds:.1f}s)"
+                )
+            if self.epoch_callback is not None:
+                self.epoch_callback(self, stats)
+            history.append(stats)
+        return history

@@ -1,0 +1,80 @@
+"""Alpha compositing golden-value tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_and_dietnerf_tpu.core import rendering
+
+
+def manual_composite(raw, z):
+    raw = np.asarray(raw, np.float64)
+    z = np.asarray(z, np.float64)
+    sigma = np.maximum(raw[..., 3], 0)
+    rgb = 1 / (1 + np.exp(-raw[..., :3]))
+    delta = np.concatenate([np.diff(z, axis=-1), np.full((*z.shape[:-1], 1), 1e9)], -1)
+    alpha = 1 - np.exp(-sigma * delta)
+    t = np.cumprod(np.concatenate([np.ones((*alpha.shape[:-1], 1)), 1 - alpha[..., :-1]], -1), -1)
+    w = alpha * t
+    return (w[..., None] * rgb).sum(-2), w, t, alpha, rgb
+
+
+def test_composite_matches_manual():
+    rng = np.random.default_rng(0)
+    raw = rng.normal(size=(5, 7, 4)).astype(np.float32)
+    z = np.sort(rng.uniform(2, 6, size=(5, 7)).astype(np.float32), axis=-1)
+    got = rendering.composite(jnp.asarray(raw), jnp.asarray(z))
+    want_rgb, want_w, want_t, want_a, want_srgb = manual_composite(raw, z)
+    np.testing.assert_allclose(np.asarray(got.rgb), want_rgb, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.weights), want_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.cumprod), want_t, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.alpha), want_a, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.sample_rgb), want_srgb, rtol=1e-5, atol=1e-6)
+
+
+def test_fully_transparent_ray_is_black():
+    raw = np.zeros((1, 4, 4), np.float32)
+    raw[..., 3] = -5.0  # relu(sigma) == 0 everywhere
+    z = np.linspace(1, 2, 4, dtype=np.float32)[None]
+    got = rendering.composite(jnp.asarray(raw), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(got.rgb), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.weights), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.cumprod), 1.0, atol=1e-7)
+
+
+def test_opaque_first_sample_takes_all_weight():
+    raw = np.zeros((1, 3, 4), np.float32)
+    raw[0, 0, 3] = 1e6  # effectively opaque at the first sample
+    raw[0, 0, :3] = [10.0, -10.0, 0.0]  # sigmoid -> ~[1, 0, 0.5]
+    z = np.array([[1.0, 1.5, 2.0]], np.float32)
+    got = rendering.composite(jnp.asarray(raw), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(got.weights)[0], [1.0, 0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.rgb)[0], [1.0, 0.0, 0.5], atol=1e-3)
+
+
+def test_terminal_delta_catches_remaining_mass():
+    # Any positive sigma at the last sample absorbs all remaining transmittance.
+    raw = np.zeros((1, 2, 4), np.float32)
+    raw[0, 1, 3] = 0.01
+    z = np.array([[1.0, 2.0]], np.float32)
+    got = rendering.composite(jnp.asarray(raw), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(got.weights).sum(), 1.0, rtol=1e-5)
+
+
+def test_exclusive_cumprod():
+    x = jnp.array([[2.0, 3.0, 4.0]])
+    np.testing.assert_allclose(
+        np.asarray(rendering.exclusive_cumprod(x)), [[1.0, 2.0, 6.0]]
+    )
+
+
+def test_psnr():
+    np.testing.assert_allclose(float(rendering.psnr_from_mse(jnp.asarray(0.01))), 20.0, rtol=1e-5)
+    a = jnp.zeros((4, 4, 3))
+    b = jnp.full((4, 4, 3), 0.1)
+    np.testing.assert_allclose(float(rendering.psnr(a, b)), 20.0, rtol=1e-5)
+
+
+def test_depth_from_weights():
+    w = jnp.array([[0.25, 0.75]])
+    z = jnp.array([[2.0, 4.0]])
+    np.testing.assert_allclose(np.asarray(rendering.depth_from_weights(w, z)), [3.5])
