@@ -1,0 +1,89 @@
+"""DietNeRF training driver: the Trainer plus the every-K-step diet step.
+
+Reference behavior being reproduced (``src/DietNeRF.py:120-157, :224-236``):
+a step counter gates the consistency loss — active when
+``counter % 13 == 0`` **and** ``counter < 0.95 * total_steps``. The gating
+runs on the host (two compiled executables, selected per step) instead of the
+reference's ``tf.cond`` branch inside one graph.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_and_dietnerf_tpu.models import dietnerf, vit
+from nerf_and_dietnerf_tpu.models.dietnerf import DietConfig, PoseSampler
+from nerf_and_dietnerf_tpu.train import train_step as ts
+from nerf_and_dietnerf_tpu.train.trainer import Trainer
+
+
+class DietTrainer(Trainer):
+    """Trainer with semantic-consistency regularization.
+
+    :param vit_weights: optional path to public ViT-B/32 weights
+        (``models/vit.py:load_pretrained`` formats). Without it the embedder
+        is randomly initialized — still a consistency regularizer, but not a
+        semantic one; a loud warning is printed.
+    """
+
+    def __init__(
+        self,
+        run,
+        dataset,
+        save_dir,
+        mesh=None,
+        epoch_callback=None,
+        diet: DietConfig = DietConfig(),
+        vit_weights: Optional[str] = None,
+    ):
+        super().__init__(run, dataset, save_dir, mesh=mesh, epoch_callback=epoch_callback)
+        self.diet = diet
+
+        if vit_weights:
+            self.vit_params = vit.load_pretrained(vit_weights, diet.vit)
+        else:
+            print(
+                "[dietnerf] WARNING: no pretrained ViT weights supplied; the "
+                "consistency embedder is randomly initialized (non-semantic). "
+                "Pass vit_weights=<path> for DietNeRF-paper behavior."
+            )
+            self.vit_params = vit.init_params(jax.random.PRNGKey(7), diet.vit)
+
+        # Precompute target embeddings of the training images once
+        # (reference ctor, src/DietNeRF.py:84).
+        embed = jax.jit(
+            lambda p, imgs: vit.extract_features(p, vit.preprocess(imgs, diet.vit), diet.vit)
+        )
+        train_images = jnp.asarray(dataset.images[self.train_indices])
+        self.target_embeddings = jax.device_get(embed(self.vit_params, train_images))
+
+        self.pose_sampler = PoseSampler.from_dataset(
+            dataset.camera_poses[self.train_indices], run.test_img_idx
+        )
+        self._embedding_rng = np.random.default_rng(11)
+
+        self.consistency_budget = dietnerf.consistency_steps_budget(
+            self.data.batches_per_epoch, run.n_epochs, self.start_epoch, diet
+        )
+        self._diet_step = dietnerf.make_diet_train_step(
+            self.config, diet, self.optimizer, dataset.field_of_view, mesh=mesh
+        )
+
+    def _dispatch_step(self, key, batch):
+        counter = int(self.state.step) + 1  # reference increments first (:129)
+        use_cs = (
+            counter % self.diet.interval == 0 and counter < self.consistency_budget
+        )
+        if not use_cs:
+            return self._step(self.state, key, batch)
+        c2w = jnp.asarray(self.pose_sampler.sample(), jnp.float32)
+        target = jnp.asarray(
+            self.target_embeddings[
+                self._embedding_rng.integers(len(self.target_embeddings))
+            ]
+        )
+        return self._diet_step(self.state, key, batch, c2w, target, self.vit_params)

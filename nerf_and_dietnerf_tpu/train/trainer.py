@@ -122,6 +122,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _dispatch_step(self, key, batch):
+        """Run one optimization step. Subclasses may select among several
+        jitted step functions (the DietNeRF trainer swaps in the
+        consistency-loss step every K-th global step)."""
+        return self._step(self.state, key, batch)
+
     def train_epoch(self, epoch: int) -> EpochStats:
         """One pass over the (permuted) ray table."""
         key = jax.random.PRNGKey(epoch)
@@ -135,7 +141,7 @@ class Trainer:
                 batch = mesh_lib.make_global_batch(self.mesh, orig, dirs, rgb)
             else:
                 batch = (jnp.asarray(orig), jnp.asarray(dirs), jnp.asarray(rgb))
-            self.state, metrics = self._step(self.state, step_keys[i], batch)
+            self.state, metrics = self._dispatch_step(step_keys[i], batch)
         jax.block_until_ready(metrics)
         dt = time.perf_counter() - t0
 

@@ -116,10 +116,24 @@ class RunConfig:
         return self.type_of_model.lower() == "dietnerf"
 
 
+# Keys present in some stock reference configs but read nowhere in the
+# reference code (verified absent from src/ConfigurationKeys.py) — accepted
+# and ignored for config-file compatibility.
+LEGACY_IGNORED_KEYS = {
+    "video_total_x_distance_l_to_r",
+    "video_z_closest_distance",
+    "video_sphere_radius",
+    "epoch_num_to_reach_high_lr",
+    "epoch_num_to_reach_low_lr",
+    "optimizer_low_lr",
+}
+
+
 def load_config(path) -> RunConfig:
     """Parse a reference-format YAML into a :class:`RunConfig`
     (reference ``src/UtilsFiles.py:182-194``). Unknown keys are rejected so
-    typos fail loudly (the reference silently ignores them)."""
+    typos fail loudly (the reference silently ignores them), except the
+    known-dead legacy keys above."""
     path = Path(path)
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
@@ -136,6 +150,8 @@ def load_config(path) -> RunConfig:
     flat_fields = {f.name for f in dataclasses.fields(RunConfig)}
 
     def set_flat(key, value, where):
+        if key in LEGACY_IGNORED_KEYS:
+            return
         mapped = {"data_devices": "mesh_data_devices"}.get(key, key)
         if mapped not in flat_fields:
             raise ValueError(f"unknown config key {key!r} in {where} of {path}")
@@ -146,6 +162,8 @@ def load_config(path) -> RunConfig:
             target = getattr(cfg, sections[key])
             valid = {f.name for f in dataclasses.fields(target)}
             for k, v in (value or {}).items():
+                if k in LEGACY_IGNORED_KEYS:
+                    continue
                 if k not in valid:
                     raise ValueError(f"unknown key {k!r} in section {key} of {path}")
                 setattr(target, k, v)

@@ -1,0 +1,79 @@
+"""Config system: stock reference YAMLs load unchanged; unknown keys fail."""
+
+import os
+from pathlib import Path
+
+import pytest
+
+from nerf_and_dietnerf_tpu.utils import config as cfg_lib
+
+REF_CONFIGS = Path("/root/reference/config_files")
+
+pytestmark = pytest.mark.skipif(
+    not REF_CONFIGS.is_dir(), reason="reference configs unavailable"
+)
+
+
+def test_stock_nerf_config_parses():
+    cfg = cfg_lib.load_config(REF_CONFIGS / "50px_alexander_71pics_sphere_nerf.yaml")
+    assert cfg.dataset_type == "colmap"
+    assert cfg.type_of_model == "NeRF"
+    assert cfg.hidden_layer_dim == 256
+    assert cfg.n_rays_in_batch_train == 4096
+    assert cfg.n_render_samples_coarse == 64
+    assert cfg.n_render_samples_fine == 128
+    assert cfg.optimizer_lr == 5e-4
+    assert cfg.n_epochs == 70
+    assert cfg.tasks.start_training is True
+    assert cfg.video.fps_render_video == 60
+    assert cfg.video.img_indices_for_path_video[:3] == [4, 7, 15]
+    assert cfg.starting_epoch_number == -1
+    assert cfg.existing_save_dir_name is None
+
+
+# Broken indentation committed in the reference itself — its own
+# yaml.safe_load (src/UtilsFiles.py:193) fails on it identically.
+MALFORMED_IN_REFERENCE = {"100px_robot_36pics_sphere.yaml"}
+
+
+def test_every_stock_config_parses():
+    for name in sorted(os.listdir(REF_CONFIGS)):
+        if name in MALFORMED_IN_REFERENCE:
+            continue
+        cfg = cfg_lib.load_config(REF_CONFIGS / name)
+        assert cfg.type_of_model in ("NeRF", "DietNeRF"), name
+        assert cfg.n_rays_in_batch_train > 0
+
+
+def test_dietnerf_and_fewshot_keys():
+    cfg = cfg_lib.load_config(
+        REF_CONFIGS / "256px_alexander_71pics_sphere_dietnerf_use10pics.yaml"
+    )
+    assert cfg.is_dietnerf
+    assert len(cfg.pics_indices_to_use_in_dataset) == 11
+
+
+def test_unknown_key_rejected(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("dataset_type: colmap\nnot_a_real_key: 3\n")
+    with pytest.raises(ValueError, match="not_a_real_key"):
+        cfg_lib.load_config(bad)
+
+
+def test_nerf_config_derivation():
+    cfg = cfg_lib.load_config(REF_CONFIGS / "50px_alexander_71pics_sphere_nerf.yaml")
+    nc = cfg.nerf_config()
+    assert nc.mlp.hidden_dim == 256
+    assert nc.n_samples_coarse == 64
+    assert nc.mlp.xyz_dim == 33
+    assert nc.mlp.dir_dim == 24
+
+
+def test_save_dir_autoincrement(tmp_path):
+    cfg = cfg_lib.RunConfig(general_save_location=str(tmp_path), config_name="runA")
+    d0 = cfg_lib.make_save_dir(cfg)
+    d1 = cfg_lib.make_save_dir(cfg)
+    assert d0.name == "runA_save_dir_0"
+    assert d1.name == "runA_save_dir_1"
+    cfg.existing_save_dir_name = "runA_save_dir_0"
+    assert cfg_lib.make_save_dir(cfg) == d0
