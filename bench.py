@@ -1,11 +1,18 @@
-"""Headline benchmark: training-step throughput in rays/sec on one chip.
+"""Headline benchmark: training throughput in rays/sec on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md): it prints per-epoch timing to
-stdout and never persists it. ``vs_baseline`` is therefore reported against a
-conservative analytic A100 estimate for the same workload (see comment below),
-not a measured reference run.
+Measures the production training path — the whole-epoch jitted program
+(`train_step.make_epoch_fn`): ray table resident in HBM, on-device
+permutation + batch gather + `lax.scan` over optimization steps. Workload per
+step matches the reference's flagship config (4096 rays, 64 coarse + 128 fine
+samples, 256-wide MLP; `config_files/256px_alexander_71pics_sphere_nerf.yaml`
+equivalents).
+
+The reference publishes no numbers (BASELINE.md): ``vs_baseline`` is reported
+against a conservative analytic A100 estimate for the same workload — public
+single-A100 TF implementations of this size sustain roughly 40-60k rays/s;
+50k is used as the comparison point.
 """
 
 from __future__ import annotations
@@ -21,39 +28,35 @@ def main() -> None:
     from nerf_and_dietnerf_tpu.models.nerf import NeRFConfig
     from nerf_and_dietnerf_tpu.train import train_step as ts
 
-    # Stock flagship training config: 4096 rays/batch, 64 coarse + 128 fine
-    # (config_files/256px_alexander_71pics_sphere_nerf.yaml equivalents).
     config = NeRFConfig()
     batch = 4096
+    steps_per_call = 40
     optimizer = ts.make_optimizer(5e-4)
     state = ts.init_train_state(jax.random.PRNGKey(0), config, optimizer)
 
-    k = jax.random.PRNGKey(1)
-    orig = jnp.zeros((batch, 4), jnp.float32).at[:, 3].set(1.0)
+    # Synthetic ray table (shapes/dtypes of the real pipeline).
+    n_rays = batch * steps_per_call
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    orig = jnp.zeros((n_rays, 4), jnp.float32).at[:, 3].set(1.0)
     dirs = jnp.concatenate(
-        [jax.random.normal(k, (batch, 3)), jnp.zeros((batch, 1))], axis=-1
+        [jax.random.normal(k1, (n_rays, 3)), jnp.zeros((n_rays, 1))], axis=-1
     )
-    rgb = jax.random.uniform(jax.random.PRNGKey(2), (batch, 3))
+    rgb = jax.random.uniform(k2, (n_rays, 3))
 
-    step = ts.make_train_step(config, optimizer, donate=False)
+    epoch_fn = ts.make_epoch_fn(config, optimizer, steps_per_call, batch)
 
     # Warmup / compile.
-    state, metrics = step(state, jax.random.PRNGKey(3), (orig, dirs, rgb))
+    state, metrics = epoch_fn(state, jax.random.PRNGKey(2), orig, dirs, rgb)
     jax.block_until_ready(metrics)
 
-    n_iters = 50
-    keys = jax.random.split(jax.random.PRNGKey(4), n_iters)
+    n_calls = 3
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, metrics = step(state, keys[i], (orig, dirs, rgb))
+    for i in range(n_calls):
+        state, metrics = epoch_fn(state, jax.random.PRNGKey(3 + i), orig, dirs, rgb)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 
-    rays_per_sec = batch * n_iters / dt
-    # Analytic A100 baseline for the reference's TF graph on this workload:
-    # the committed runs train ~4096 rays * 192 samples through a ~0.5M-param
-    # MLP per step; public single-A100 TF NeRF implementations of this size
-    # sustain roughly 40-60k rays/s. Use 50k as the comparison point.
+    rays_per_sec = batch * steps_per_call * n_calls / dt
     baseline = 50_000.0
     print(
         json.dumps(

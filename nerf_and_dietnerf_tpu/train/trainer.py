@@ -87,6 +87,8 @@ class Trainer:
         self._maybe_resume()
 
         self._step = ts.make_train_step(self.config, self.optimizer, mesh=mesh)
+        self._epoch_fn = None
+        self._device_tables = None
         self.ckpt = checkpoint.CheckpointManager(self.save_dir / "orbax")
         self.psnrs_test: List[float] = []
         self.psnrs_train: List[float] = []
@@ -122,6 +124,49 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    # On-device whole-epoch path: one jitted scan per epoch with the ray
+    # table resident in HBM (see train_step.make_epoch_fn). Used when the
+    # subclass doesn't need per-step host dispatch (DietTrainer does) and the
+    # table fits comfortably on device.
+    ON_DEVICE_TABLE_LIMIT_BYTES = 2 << 30
+
+    def _supports_on_device_epoch(self) -> bool:
+        table_bytes = (
+            self.data.origins.nbytes + self.data.directions.nbytes + self.data.rgb.nbytes
+        )
+        return (
+            type(self) is Trainer
+            and self.run.on_device_epoch
+            and jax.process_count() == 1
+            and table_bytes <= self.ON_DEVICE_TABLE_LIMIT_BYTES
+        )
+
+    def _run_on_device_epoch(self, key):
+        if self._epoch_fn is None:
+            self._epoch_fn = ts.make_epoch_fn(
+                self.config, self.optimizer,
+                self.data.batches_per_epoch, self.run.n_rays_in_batch_train,
+                mesh=self.mesh,
+            )
+            put = (
+                (lambda a: jax.device_put(a, mesh_lib.replicated(self.mesh)))
+                if self.mesh is not None
+                else jnp.asarray
+            )
+            self._device_tables = tuple(
+                put(a) for a in (self.data.origins, self.data.directions, self.data.rgb)
+            )
+            if self.mesh is not None:
+                self.state = jax.device_put(self.state, mesh_lib.replicated(self.mesh))
+        self.state, metrics = self._epoch_fn(self.state, key, *self._device_tables)
+        return metrics
+
+    def _put_batch(self, batch):
+        orig, dirs, rgb = batch
+        if self.mesh is not None:
+            return mesh_lib.make_global_batch(self.mesh, orig, dirs, rgb)
+        return (jnp.asarray(orig), jnp.asarray(dirs), jnp.asarray(rgb))
+
     def _dispatch_step(self, key, batch):
         """Run one optimization step. Subclasses may select among several
         jitted step functions (the DietNeRF trainer swaps in the
@@ -134,14 +179,27 @@ class Trainer:
         k_perm, k_steps = jax.random.split(key)
         t0 = time.perf_counter()
         n_batches = self.data.batches_per_epoch
-        step_keys = jax.random.split(k_steps, n_batches)
-        metrics = {}
-        for i, (orig, dirs, rgb) in enumerate(self.data.epoch(k_perm)):
-            if self.mesh is not None:
-                batch = mesh_lib.make_global_batch(self.mesh, orig, dirs, rgb)
-            else:
-                batch = (jnp.asarray(orig), jnp.asarray(dirs), jnp.asarray(rgb))
-            self.state, metrics = self._dispatch_step(step_keys[i], batch)
+        if n_batches == 0:
+            raise ValueError(
+                "batch size exceeds the number of training rays; nothing to train"
+            )
+        if self._supports_on_device_epoch():
+            metrics = self._run_on_device_epoch(key)
+        else:
+            step_keys = jax.random.split(k_steps, n_batches)
+            # One-batch lookahead: the next batch's host->device transfer is
+            # dispatched before this step is consumed, so transfers overlap
+            # with compute (JAX dispatch is async; without this every step
+            # pays the full host round-trip).
+            it = self.data.epoch(k_perm)
+            pending = self._put_batch(next(it))
+            i = 0
+            for nxt in it:
+                nxt = self._put_batch(nxt)
+                self.state, metrics = self._dispatch_step(step_keys[i], pending)
+                pending = nxt
+                i += 1
+            self.state, metrics = self._dispatch_step(step_keys[i], pending)
         jax.block_until_ready(metrics)
         dt = time.perf_counter() - t0
 

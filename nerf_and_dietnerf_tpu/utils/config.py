@@ -88,6 +88,7 @@ class RunConfig:
     mesh_data_devices: Optional[int] = None  # None => all local devices
     compute_dtype: str = "bfloat16"          # "float32" for parity runs
     backend: str = "xla"                     # "xla" | "pallas" MLP evaluation
+    on_device_epoch: bool = True             # whole-epoch lax.scan when it fits
     config_name: str = "run"                 # stem of the YAML file
 
     def nerf_config(self) -> NeRFConfig:

@@ -1,0 +1,130 @@
+"""DietNeRF: ViT extractor, consistency loss, pose sampler, diet trainer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_and_dietnerf_tpu.data.loaders import Dataset
+from nerf_and_dietnerf_tpu.models import dietnerf, nerf, vit
+from nerf_and_dietnerf_tpu.models.dietnerf import DietConfig, PoseSampler
+from nerf_and_dietnerf_tpu.models.mlp import MLPConfig
+
+TINY_VIT = vit.ViTConfig(
+    image_size=32, patch_size=16, hidden_dim=32, n_layers=2, n_heads=4, mlp_dim=64
+)
+TINY_NERF = nerf.NeRFConfig(
+    mlp=MLPConfig(hidden_dim=16, last_hidden_dim=8, n_freq_xyz=2, n_freq_dir=2),
+    n_samples_coarse=4, n_samples_fine=4,
+    near=0.5, far=3.0, compute_dtype=jnp.float32,
+)
+TINY_DIET = DietConfig(
+    interval=3, cs_image_size=16, cs_samples=4, cs_chunk_rays=64, vit=TINY_VIT
+)
+
+
+def test_vit_shapes_and_determinism():
+    params = vit.init_params(jax.random.PRNGKey(0), TINY_VIT)
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 32, 32, 3)), jnp.float32)
+    feats = vit.extract_features(params, imgs * 2 - 1, TINY_VIT, compute_dtype=jnp.float32)
+    assert feats.shape == (2, 32)
+    feats2 = vit.extract_features(params, imgs * 2 - 1, TINY_VIT, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats2))
+
+
+def test_vit_preprocess_range():
+    img = jnp.ones((8, 8, 3)) * 0.5
+    out = vit.preprocess(img, TINY_VIT)
+    assert out.shape == (1, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_vit_npz_roundtrip(tmp_path):
+    params = vit.init_params(jax.random.PRNGKey(0), TINY_VIT)
+    vit.save_npz(tmp_path / "w.npz", params)
+    loaded = vit.load_pretrained(str(tmp_path / "w.npz"), TINY_VIT)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_consistency_loss_gradient_flows():
+    """Gradients must reach both MLPs through the low-res render + ViT."""
+    nerf_params = nerf.init_params(jax.random.PRNGKey(0), TINY_NERF)
+    # Non-degenerate density so compositing has signal.
+    for which in ("coarse", "fine"):
+        nerf_params[which]["sigma_out"]["bias"] = (
+            nerf_params[which]["sigma_out"]["bias"] + 1.0
+        )
+    vit_params = vit.init_params(jax.random.PRNGKey(1), TINY_VIT)
+    target = jax.random.normal(jax.random.PRNGKey(2), (TINY_VIT.hidden_dim,))
+    c2w = jnp.eye(4).at[2, 3].set(2.0)
+
+    def loss(p):
+        cs, _ = dietnerf.consistency_loss(
+            p, vit_params, TINY_NERF, TINY_DIET, jax.random.PRNGKey(3),
+            c2w, 0.8, target,
+        )
+        return cs
+
+    value, grads = jax.value_and_grad(loss)(nerf_params)
+    assert 0.0 <= float(value) <= TINY_DIET.weight  # in [0, weight * 1]
+    for which in ("coarse", "fine"):
+        total = sum(
+            float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads[which])
+        )
+        assert total > 0, f"no gradient reached the {which} network"
+
+
+def test_pose_sampler_spherical_and_slerp():
+    rng = np.random.default_rng(0)
+    # Cameras on a sphere looking at origin -> RANSAC sees a spherical scene.
+    from nerf_and_dietnerf_tpu.core import pose_math
+
+    poses = np.stack(
+        [pose_math.sphere_c2w(2.0, x, y, 0.0) for x, y in rng.uniform(-60, 60, (12, 2))]
+    )
+    sampler = PoseSampler.from_dataset(poses, test_img_idx=0, seed=1)
+    assert sampler.is_spherical
+    c2w = sampler.sample()
+    assert c2w.shape == (4, 4)
+    assert np.isfinite(c2w).all()
+    assert not np.allclose(c2w, sampler.sample())  # actually random per call
+
+    # Nearly-parallel cameras -> not spherical -> slerp blend of 3 poses.
+    line_poses = np.stack([np.eye(4)] * 8)
+    line_poses[:, 0, 3] = np.arange(8)
+    sampler2 = PoseSampler(line_poses, None, None, seed=2)
+    c2w2 = sampler2.sample()
+    assert c2w2.shape == (4, 4)
+    assert np.isfinite(c2w2).all()
+
+
+def test_diet_trainer_step_dispatch(tmp_path):
+    from nerf_and_dietnerf_tpu.train.diet_trainer import DietTrainer
+    from nerf_and_dietnerf_tpu.utils.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    h = w = 10
+    images = rng.uniform(size=(3, h, w, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    poses[:, 2, 3] = [2.0, 2.2, 2.4]
+    ds = Dataset(
+        images=images, camera_poses=poses, field_of_view=0.8,
+        near=0.5, far=3.0, average_c2w_before_recenter=np.eye(4), scale=1.0,
+    )
+    run = RunConfig(
+        type_of_model="DietNeRF",
+        hidden_layer_dim=16, last_hidden_layer_dim=8,
+        n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
+        n_render_samples_coarse=4, n_render_samples_fine=4,
+        near_depth_render=0.5, far_depth_render=3.0,
+        n_rays_in_batch_train=40, n_rays_in_batch_render=100,
+        n_epochs=1, test_img_idx=0, idx_train_img_to_plot=1,
+        compute_dtype="float32",
+    )
+    trainer = DietTrainer(run, ds, tmp_path, diet=TINY_DIET)
+    assert trainer.target_embeddings.shape == (2, TINY_VIT.hidden_dim)
+    # 200 rays / 40 = 5 steps per epoch; interval 3 => step 3 uses the diet step.
+    history = trainer.fit(log=None)
+    assert len(history) == 1
+    assert int(trainer.state.step) == trainer.data.batches_per_epoch
+    assert np.isfinite(history[0].loss)

@@ -65,6 +65,46 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_on_device_epoch_fn_trains():
+    """The whole-epoch scan program: loss falls, step count advances."""
+    opt = ts.make_optimizer(1e-3)
+    state = ts.init_train_state(jax.random.PRNGKey(0), TINY, opt)
+    n, batch = 256, 64
+    orig, dirs, rgb = make_batch(n)
+    epoch_fn = ts.make_epoch_fn(TINY, opt, n_batches=n // batch, batch_size=batch)
+    losses = []
+    for e in range(6):
+        state, metrics = epoch_fn(state, jax.random.PRNGKey(e), orig, dirs, rgb)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 6 * (n // batch)
+    assert losses[-1] < losses[0]
+
+
+def test_on_device_epoch_fn_sharded_matches_unsharded():
+    mesh = mesh_lib.make_mesh()
+    opt = ts.make_optimizer(1e-3)
+    state0 = ts.init_train_state(jax.random.PRNGKey(0), TINY, opt)
+    n, batch = 128, 64
+    orig, dirs, rgb = make_batch(n)
+    key = jax.random.PRNGKey(5)
+
+    f1 = ts.make_epoch_fn(TINY, opt, n // batch, batch)
+    s1, m1 = f1(state0, key, orig, dirs, rgb)
+
+    # epoch_fn donates its input state; make a fresh identical one.
+    state0b = ts.init_train_state(jax.random.PRNGKey(0), TINY, opt)
+    f2 = ts.make_epoch_fn(TINY, opt, n // batch, batch, mesh=mesh)
+    repl = mesh_lib.replicated(mesh)
+    s2, m2 = f2(
+        jax.device_put(state0b, repl), key,
+        jax.device_put(orig, repl), jax.device_put(dirs, repl),
+        jax.device_put(rgb, repl),
+    )
+    assert np.allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_trainer_epoch_end_to_end(tmp_path):
     """Full Trainer loop on a synthetic 2-image scene: runs, checkpoints,
     tracks PSNR, and the reference-format .h5 artifact is written."""
