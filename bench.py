@@ -45,15 +45,17 @@ def main() -> None:
 
     epoch_fn = ts.make_epoch_fn(config, optimizer, steps_per_call, batch)
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: timing fences use float(...) host materialization,
+    # not block_until_ready — some remote PJRT runtimes return from
+    # block_until_ready before execution completes.
     state, metrics = epoch_fn(state, jax.random.PRNGKey(2), orig, dirs, rgb)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
 
     n_calls = 3
     t0 = time.perf_counter()
     for i in range(n_calls):
         state, metrics = epoch_fn(state, jax.random.PRNGKey(3 + i), orig, dirs, rgb)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = batch * steps_per_call * n_calls / dt

@@ -46,6 +46,14 @@ class NeRFConfig:
     far: float = 6.0
     compute_dtype: Any = jnp.bfloat16  # fast path; use float32 for parity tests
     backend: str = "xla"               # "xla" | "pallas" MLP evaluation
+    # Stop gradients through the hierarchical-resampling CDF (the original
+    # NeRF implementation's behavior, and ~40% faster on TPU: the CDF's VJP
+    # is a chain of sort/gather transposes that lower to serialized
+    # scatters). The Sahar-E reference lets gradients flow there
+    # (``src/NeRF.py:155`` computes the resampling inside the tape — an
+    # accidental departure from bmild/nerf); set False for exact
+    # reference-gradient parity.
+    stop_fine_z_grad: bool = True
 
     @property
     def has_fine(self) -> bool:
@@ -159,6 +167,8 @@ def training_losses(
         z_fine = sampling.resample_z_from_weights(
             k_resample, coarse.weights, z, config.n_samples_fine
         )
+        if config.stop_fine_z_grad:
+            z_fine = jax.lax.stop_gradient(z_fine)
         fine = render_rays(params["fine"], config, rays_orig, rays_dirs, z_fine)
         mse_fine = jnp.mean(jnp.square(target_rgb - fine.rgb))
         loss = loss + mse_fine

@@ -40,9 +40,11 @@ from nerf_and_dietnerf_tpu.models.mlp import (
 
 Params = Dict[str, Any]
 
-TILE_ROWS = 1024      # rows (= ray-samples) per forward grid step
+TILE_ROWS = 2048      # rows (= ray-samples) per forward grid step (forward
+                      # stores no activations, so VMEM stays small; larger
+                      # tiles amortize per-grid-step overhead)
 TILE_ROWS_BWD = 512   # backward re-materializes all activations in-tile, so
-                      # its VMEM footprint is ~2x forward's — use a half tile
+                      # its VMEM footprint is ~4x forward's — use a small tile
 
 
 def _interpret() -> bool:

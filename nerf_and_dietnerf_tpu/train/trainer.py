@@ -200,7 +200,9 @@ class Trainer:
                 pending = nxt
                 i += 1
             self.state, metrics = self._dispatch_step(step_keys[i], pending)
-        jax.block_until_ready(metrics)
+        # Host materialization as the timing fence — on remote PJRT backends
+        # block_until_ready can return before execution completes.
+        loss_value = float(jax.device_get(metrics["loss"]))
         dt = time.perf_counter() - t0
 
         psnr_train, psnr_test = self._eval_psnrs(epoch)
@@ -208,7 +210,7 @@ class Trainer:
         self.psnrs_test.append(psnr_test)
         stats = EpochStats(
             epoch=epoch,
-            loss=float(metrics.get("loss", jnp.nan)),
+            loss=loss_value,
             psnr_train=psnr_train,
             psnr_test=psnr_test,
             rays_per_sec=n_batches * self.run.n_rays_in_batch_train / dt,

@@ -89,6 +89,7 @@ class RunConfig:
     compute_dtype: str = "bfloat16"          # "float32" for parity runs
     backend: str = "xla"                     # "xla" | "pallas" MLP evaluation
     on_device_epoch: bool = True             # whole-epoch lax.scan when it fits
+    stop_fine_z_grad: bool = True            # False = exact reference gradients
     config_name: str = "run"                 # stem of the YAML file
 
     def nerf_config(self) -> NeRFConfig:
@@ -110,6 +111,7 @@ class RunConfig:
             far=self.far_depth_render,
             compute_dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32,
             backend=self.backend,
+            stop_fine_z_grad=self.stop_fine_z_grad,
         )
 
     @property

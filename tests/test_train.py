@@ -105,6 +105,40 @@ def test_on_device_epoch_fn_sharded_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_epoch_fn_matches_host_loop_exactly():
+    """The on-device epoch splits its key exactly like the Trainer host loop
+    (k_perm for the permutation, k_steps -> per-step keys), so both paths
+    produce bit-identical training. This is what makes `on_device_epoch`
+    a pure performance switch."""
+    opt = ts.make_optimizer(1e-3)
+    n, batch = 192, 64
+    n_batches = n // batch
+    orig, dirs, rgb = make_batch(n)
+    key = jax.random.PRNGKey(9)
+
+    # Host-loop replica (mirrors Trainer.train_epoch's key discipline).
+    k_perm, k_steps = jax.random.split(key)
+    perm = np.asarray(jax.random.permutation(k_perm, n))
+    step_keys = jax.random.split(k_steps, n_batches)
+    state_a = ts.init_train_state(jax.random.PRNGKey(0), TINY, opt)
+    step = ts.make_train_step(TINY, opt, donate=False)
+    for i in range(n_batches):
+        idx = perm[i * batch : (i + 1) * batch]
+        state_a, _ = step(
+            state_a, step_keys[i],
+            (jnp.asarray(np.asarray(orig)[idx]),
+             jnp.asarray(np.asarray(dirs)[idx]),
+             jnp.asarray(np.asarray(rgb)[idx])),
+        )
+
+    state_b = ts.init_train_state(jax.random.PRNGKey(0), TINY, opt)
+    epoch_fn = ts.make_epoch_fn(TINY, opt, n_batches, batch)
+    state_b, _ = epoch_fn(state_b, key, orig, dirs, rgb)
+
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_trainer_epoch_end_to_end(tmp_path):
     """Full Trainer loop on a synthetic 2-image scene: runs, checkpoints,
     tracks PSNR, and the reference-format .h5 artifact is written."""
