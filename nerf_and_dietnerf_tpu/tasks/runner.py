@@ -65,6 +65,14 @@ class Runner:
                 "far": self.dataset.far,
             }
         )
+        # All offline rendering (videos, plots) runs in float32 — bf16
+        # forward costs ~3 dB on rendered frames for ~12% speed.
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+
+        self.render_config = _dc.replace(
+            self.nerf_config, compute_dtype=_jnp.float32, backend="xla"
+        )
         self.save_dir = config_lib.make_save_dir(self.run, self.config_path)
         self.epoch_number = max(self.run.starting_epoch_number, 0)
         self.datetime_start = time.strftime("%Y-%m-%d_%H-%M-%S")
@@ -237,7 +245,7 @@ class Runner:
         key = jax.random.PRNGKey(0)
         for i, c2w in enumerate(c2w_matrices):
             result, z = nerf.render_image(
-                params, self.nerf_config, jax.random.fold_in(key, i),
+                params, self.render_config, jax.random.fold_in(key, i),
                 np.asarray(c2w, np.float32), ds.field_of_view, ds.height, ds.width,
                 chunk_size=self.run.n_rays_in_batch_render,
             )
@@ -287,7 +295,7 @@ class Runner:
         ds = self.dataset
         c2w = ds.camera_poses[self.run.idx_train_img_to_plot]
         result, z = nerf.render_image(
-            params, self.nerf_config, jax.random.PRNGKey(0),
+            params, self.render_config, jax.random.PRNGKey(0),
             c2w, ds.field_of_view, ds.height, ds.width,
             chunk_size=self.run.n_rays_in_batch_render,
         )
@@ -318,7 +326,7 @@ class Runner:
         rendered = []
         for i, c2w in enumerate(path):
             result, _ = nerf.render_image(
-                params, self.nerf_config, jax.random.PRNGKey(100 + i),
+                params, self.render_config, jax.random.PRNGKey(100 + i),
                 c2w, ds.field_of_view, ds.height, ds.width,
                 chunk_size=self.run.n_rays_in_batch_render,
             )

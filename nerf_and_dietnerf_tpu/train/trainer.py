@@ -64,7 +64,26 @@ class Trainer:
         self.mesh = mesh
         self.epoch_callback = epoch_callback
 
-        self.config: NeRFConfig = run.nerf_config()
+        # near/far come from the *loader*, not the YAML: spherification
+        # rescales the scene and the bounds with it (reference passes the
+        # rescaled bounds into the model, src/ExecutionRun.py:104-113).
+        # Training with the raw YAML bounds samples mostly-empty space and
+        # costs ~4 dB (measured on the 50px Alexander scene).
+        self.config: NeRFConfig = dataclasses.replace(
+            run.nerf_config(), near=dataset.near, far=dataset.far
+        )
+        if mesh is not None and self.config.backend == "pallas":
+            # pallas_call has no GSPMD partitioning rule; the sharded train
+            # step would gather the batch onto every chip. Fall back until
+            # the shard_map-wrapped kernel path lands.
+            print("[trainer] backend=pallas is single-chip only for now; using xla on the mesh")
+            self.config = dataclasses.replace(self.config, backend="xla")
+        # Eval/PSNR renders always run in float32: bf16 forward costs ~3 dB
+        # of PSNR on rendered frames (measured) for ~12% render speed — the
+        # wrong trade everywhere except inside the train step.
+        self.eval_config = dataclasses.replace(
+            self.config, compute_dtype=jnp.float32, backend="xla"
+        )
         self.optimizer = ts.make_optimizer(run.optimizer_lr)
 
         train_idx = loaders.train_test_split_indices(
@@ -229,7 +248,7 @@ class Trainer:
         for idx in (self.run.idx_train_img_to_plot, self.run.test_img_idx):
             result, _ = nerf.render_image(
                 self.state.params,
-                self.config,
+                self.eval_config,
                 key,
                 ds.camera_poses[idx],
                 ds.field_of_view,
@@ -250,7 +269,7 @@ class Trainer:
             ("test", self.run.test_img_idx),
         ):
             result, _ = nerf.render_image(
-                self.state.params, self.config, key,
+                self.state.params, self.eval_config, key,
                 ds.camera_poses[idx], ds.field_of_view, ds.height, ds.width,
                 chunk_size=self.run.n_rays_in_batch_render,
             )

@@ -89,7 +89,7 @@ class RunConfig:
     compute_dtype: str = "bfloat16"          # "float32" for parity runs
     backend: str = "xla"                     # "xla" | "pallas" MLP evaluation
     on_device_epoch: bool = True             # whole-epoch lax.scan when it fits
-    stop_fine_z_grad: bool = True            # False = exact reference gradients
+    stop_fine_z_grad: bool = False           # True = bmild/nerf stop-gradient
     config_name: str = "run"                 # stem of the YAML file
 
     def nerf_config(self) -> NeRFConfig:

@@ -86,3 +86,23 @@ def test_merged_fine_z_is_sorted_and_contains_coarse():
     assert np.all(np.diff(m, axis=-1) >= 0)
     for row_m, row_z in zip(m, np.asarray(z)):
         assert set(np.round(row_z, 5)).issubset(set(np.round(row_m, 5)))
+
+
+def test_merge_sorted_matches_sort():
+    import numpy as np
+    from nerf_and_dietnerf_tpu.core.sampling import merge_sorted
+
+    rng = np.random.default_rng(0)
+    a = np.sort(rng.uniform(0, 4, size=(16, 12)), axis=-1).astype(np.float32)
+    b = np.sort(rng.uniform(0, 4, size=(16, 7)), axis=-1).astype(np.float32)
+    merged = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_allclose(merged, want, atol=0)
+
+    # Ties across the two arrays must not lose elements.
+    a2 = np.asarray([[1.0, 2.0, 2.0, 3.0]], np.float32)
+    b2 = np.asarray([[2.0, 2.0]], np.float32)
+    merged2 = np.asarray(merge_sorted(jnp.asarray(a2), jnp.asarray(b2)))
+    np.testing.assert_allclose(
+        merged2, np.sort(np.concatenate([a2, b2], -1), -1), atol=0
+    )

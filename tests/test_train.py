@@ -183,3 +183,31 @@ def test_trainer_epoch_end_to_end(tmp_path):
     history2 = trainer2.fit(log=None)
     assert len(history2) == 1
     assert int(trainer2.state.step) == 3 * trainer2.data.batches_per_epoch
+
+
+def test_trainer_uses_loader_rescaled_bounds(tmp_path):
+    """Regression: the model's near/far must be the loader's (spherification-
+    rescaled) bounds, not the raw YAML values (reference src/ExecutionRun.py:104-113)."""
+    from nerf_and_dietnerf_tpu.data.loaders import Dataset
+    from nerf_and_dietnerf_tpu.train.trainer import Trainer
+    from nerf_and_dietnerf_tpu.utils.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    ds = Dataset(
+        images=rng.uniform(size=(2, 8, 8, 3)).astype(np.float32),
+        camera_poses=np.stack([np.eye(4, dtype=np.float32)] * 2),
+        field_of_view=0.8,
+        near=0.7, far=2.9,  # rescaled values, != YAML defaults
+        average_c2w_before_recenter=np.eye(4), scale=1.0,
+    )
+    run = RunConfig(
+        hidden_layer_dim=8, last_hidden_layer_dim=4,
+        n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
+        n_render_samples_coarse=2, n_render_samples_fine=2,
+        near_depth_render=2.0, far_depth_render=6.0,
+        n_rays_in_batch_train=32, n_epochs=1, compute_dtype="float32",
+    )
+    trainer = Trainer(run, ds, tmp_path)
+    assert trainer.config.near == 0.7
+    assert trainer.config.far == 2.9
+    assert trainer.eval_config.near == 0.7
