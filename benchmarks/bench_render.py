@@ -17,25 +17,27 @@ def main() -> None:
     from nerf_and_dietnerf_tpu.models import nerf
     from nerf_and_dietnerf_tpu.models.nerf import NeRFConfig
 
-    config = NeRFConfig()  # 64 coarse + 128 fine, stock flagship architecture
+    # Production render config: float32 compute (what videos/eval use).
+    config = NeRFConfig(compute_dtype=jnp.float32)
     params = nerf.init_params(jax.random.PRNGKey(0), config)
     h = w = 256
     c2w = jnp.eye(4).at[2, 3].set(3.0)
     fov = 0.69
 
     for chunk in (16384, 65536):
-        # Warmup/compile.
+        # Warmup/compile. Timing fences on host materialization (remote PJRT
+        # block_until_ready can return early).
         result, _ = nerf.render_image(
             params, config, jax.random.PRNGKey(1), c2w, fov, h, w, chunk_size=chunk
         )
-        jax.block_until_ready(result.rgb)
+        float(result.rgb.sum())
         n = 5
         t0 = time.perf_counter()
         for i in range(n):
             result, _ = nerf.render_image(
                 params, config, jax.random.PRNGKey(i), c2w, fov, h, w, chunk_size=chunk
             )
-            jax.block_until_ready(result.rgb)
+            float(result.rgb.sum())
         dt = (time.perf_counter() - t0) / n
         print(
             json.dumps(

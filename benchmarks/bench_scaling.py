@@ -53,12 +53,12 @@ def main() -> None:
         )
         step = ts.make_train_step(config, opt, mesh=mesh, donate=False)
         state, m = step(state, jax.random.PRNGKey(3), batch)
-        jax.block_until_ready(m)
+        float(m["loss"])  # host-materialization timing fence
         iters = 10
         t0 = time.perf_counter()
         for i in range(iters):
             state, m = step(state, jax.random.PRNGKey(i), batch)
-        jax.block_until_ready(m)
+        float(m["loss"])
         return n * iters / (time.perf_counter() - t0)
 
     base = run(1)

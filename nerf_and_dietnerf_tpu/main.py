@@ -35,6 +35,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--distributed", action="store_true",
         help="call jax.distributed.initialize() for multi-host pods",
     )
+    p.add_argument(
+        "--trace-dir", default=None,
+        help="capture a jax.profiler trace of each run into this directory",
+    )
+    p.add_argument(
+        "--nan-checks", action="store_true",
+        help="enable jax_debug_nans (debug mode; recompiles, slower)",
+    )
     return p
 
 
@@ -46,8 +54,14 @@ def main(argv=None) -> int:
     if args.distributed:
         jax.distributed.initialize()
 
+    import contextlib
+
     from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
     from nerf_and_dietnerf_tpu.tasks.runner import Runner
+    from nerf_and_dietnerf_tpu.utils import profiling
+
+    if args.nan_checks:
+        profiling.enable_nan_checks()
 
     devices = jax.devices()
     if args.data_devices:
@@ -58,10 +72,16 @@ def main(argv=None) -> int:
         print(f"=== {config_path} ===")
         start = time.time()
         try:
-            Runner(
-                config_path, mesh=mesh,
-                vit_weights=args.vit_weights, save_root=args.save_root,
-            ).start()
+            trace_ctx = (
+                profiling.trace(args.trace_dir)
+                if args.trace_dir
+                else contextlib.nullcontext()
+            )
+            with trace_ctx:
+                Runner(
+                    config_path, mesh=mesh,
+                    vit_weights=args.vit_weights, save_root=args.save_root,
+                ).start()
         except Exception:
             traceback.print_exc()
             return 1

@@ -114,3 +114,30 @@ def test_ray_dataset_host_sharding_partitions_batch():
     np.testing.assert_array_equal(np.concatenate([s0[2], s1[2]]), fb[2])
     with pytest.raises(ValueError):
         pipeline.RayDataset(images, poses, 1.0, batch_size=15, process_count=2)
+
+
+def test_ray_dataset_multihost_slicing():
+    """Each host takes a disjoint, deterministic slice of every global batch;
+    together they reconstruct it exactly (no communication needed)."""
+    import jax
+    from nerf_and_dietnerf_tpu.data.pipeline import RayDataset
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(2, 4, 4, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    poses[:, 2, 3] = [2.0, 2.5]
+
+    hosts = [
+        RayDataset(images, poses, 0.8, batch_size=16, process_index=i, process_count=4)
+        for i in range(4)
+    ]
+    solo = RayDataset(images, poses, 0.8, batch_size=16)
+    key = jax.random.PRNGKey(3)
+    solo_batches = list(solo.epoch(key))
+    host_batches = [list(h.epoch(key)) for h in hosts]
+    assert len(solo_batches) == 2  # 32 rays / 16
+    for b in range(len(solo_batches)):
+        merged = np.concatenate([host_batches[i][b][2] for i in range(4)], axis=0)
+        np.testing.assert_array_equal(merged, solo_batches[b][2])
+        for i in range(4):
+            assert host_batches[i][b][0].shape[0] == 4  # 16 / 4 hosts
