@@ -53,6 +53,12 @@ class NeRFConfig:
     # one-hot-einsum resampling VJP (no scatters) the flowing-gradient path
     # costs only ~7% (33.2 vs 30.9 ms/step measured on v5e).
     stop_fine_z_grad: bool = False
+    # Device mesh for the fused-kernel path. pallas_call has no GSPMD
+    # partitioning rule, so on a mesh the kernel must be shard_mapped over
+    # the data axis (``ops/raymarch_pallas.apply_mlp_fused_sharded``); the
+    # plain-XLA backend ignores this and lets GSPMD shard everything.
+    mesh: Any = None
+    mesh_axis: str = "data"
 
     @property
     def has_fine(self) -> bool:
@@ -70,6 +76,12 @@ def _mlp_apply(config: NeRFConfig):
     if config.backend == "pallas":
         from nerf_and_dietnerf_tpu.ops import raymarch_pallas
 
+        if config.mesh is not None:
+            return functools.partial(
+                raymarch_pallas.apply_mlp_fused_sharded,
+                mesh=config.mesh,
+                axis=config.mesh_axis,
+            )
         return raymarch_pallas.apply_mlp_fused
     return mlp_lib.apply_mlp
 

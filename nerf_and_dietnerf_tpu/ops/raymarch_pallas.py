@@ -453,3 +453,99 @@ def apply_mlp_fused(
     if not config.uses_view_dirs:
         enc_dir = None
     return _fused_mlp(params, config, enc_xyz, enc_dir, compute_dtype)
+
+
+# --------------------------------------------------------------------------- #
+# shard_map wrapper — mesh-parallel fused kernel                              #
+#                                                                             #
+# pallas_call has no GSPMD partitioning rule, so under a sharded jit the      #
+# plain kernel would force an all-gather of the row batch onto every chip.    #
+# Here the kernel is shard_mapped over the mesh's data axis: rows split       #
+# across chips, weights replicated, and the backward psums the weight/bias    #
+# cotangents over ICI explicitly (the transpose of replication).             #
+# --------------------------------------------------------------------------- #
+
+
+def _row_shard(n_rows: int, mesh, axis: str) -> int:
+    n_dev = mesh.shape[axis]
+    if n_rows % n_dev:
+        raise ValueError(
+            f"row count {n_rows} not divisible by mesh axis {axis!r} ({n_dev})"
+        )
+    return n_dev
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+def _fused_mlp_sharded(params, config: MLPConfig, enc_xyz, enc_dir, cd, mesh, axis):
+    return _sharded_forward(params, config, enc_xyz, enc_dir, cd, mesh, axis)
+
+
+def _sharded_forward(params, config, enc_xyz, enc_dir, cd, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    _row_shard(enc_xyz.shape[0], mesh, axis)
+    has_dir = enc_dir is not None
+    row = P(axis)
+    f = jax.shard_map(
+        lambda p, x, d: _forward_pallas(p, config, x, d if has_dir else None, cd),
+        mesh=mesh,
+        in_specs=(P(), row, row if has_dir else P()),
+        out_specs=row,
+        check_vma=False,
+    )
+    return f(params, enc_xyz, enc_dir if has_dir else jnp.zeros((), jnp.float32))
+
+
+def _sharded_fwd(params, config, enc_xyz, enc_dir, cd, mesh, axis):
+    out = _sharded_forward(params, config, enc_xyz, enc_dir, cd, mesh, axis)
+    return out, (params, enc_xyz, enc_dir)
+
+
+def _sharded_bwd(config, cd, mesh, axis, res, g):
+    from jax.sharding import PartitionSpec as P
+
+    params, enc_xyz, enc_dir = res
+    has_dir = enc_dir is not None
+    row = P(axis)
+
+    def body(p, x, d, gg):
+        dparams, dx, dd = _backward_pallas(p, config, x, d if has_dir else None, cd, gg)
+        # Weight/bias cotangents: every shard holds a partial sum over its
+        # rows — reduce over the data axis (ICI all-reduce).
+        dparams = jax.lax.psum(dparams, axis)
+        return dparams, dx, (dd if has_dir else jnp.zeros((), jnp.float32))
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), row, row if has_dir else P(), row),
+        out_specs=(P(), row, row if has_dir else P()),
+        check_vma=False,
+    )
+    dparams, dx, dd = f(
+        params, enc_xyz, enc_dir if has_dir else jnp.zeros((), jnp.float32), g
+    )
+    dparams = jax.tree.map(lambda p, dp: dp.astype(p.dtype), params, dparams)
+    return dparams, dx, (dd if has_dir else None)
+
+
+_fused_mlp_sharded.defvjp(_sharded_fwd, _sharded_bwd)
+
+
+def apply_mlp_fused_sharded(
+    params: Params,
+    config: MLPConfig,
+    enc_xyz: jnp.ndarray,
+    enc_dir: jnp.ndarray | None = None,
+    compute_dtype=jnp.bfloat16,
+    *,
+    mesh,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Mesh-parallel :func:`apply_mlp_fused`: rows sharded over ``axis``,
+    params replicated, weight-grad psum over ICI in the backward."""
+    if config.uses_view_dirs and enc_dir is None:
+        raise ValueError("this MLP config requires encoded view directions")
+    if not config.uses_view_dirs:
+        enc_dir = None
+    return _fused_mlp_sharded(params, config, enc_xyz, enc_dir, compute_dtype, mesh, axis)

@@ -73,11 +73,12 @@ class Trainer:
             run.nerf_config(), near=dataset.near, far=dataset.far
         )
         if mesh is not None and self.config.backend == "pallas":
-            # pallas_call has no GSPMD partitioning rule; the sharded train
-            # step would gather the batch onto every chip. Fall back until
-            # the shard_map-wrapped kernel path lands.
-            print("[trainer] backend=pallas is single-chip only for now; using xla on the mesh")
-            self.config = dataclasses.replace(self.config, backend="xla")
+            # pallas_call has no GSPMD partitioning rule; on a mesh the fused
+            # kernel runs shard_mapped over the data axis with an explicit
+            # weight-grad psum (ops/raymarch_pallas.apply_mlp_fused_sharded).
+            self.config = dataclasses.replace(
+                self.config, mesh=mesh, mesh_axis=mesh_lib.DATA_AXIS
+            )
         # Eval/PSNR renders always run in float32: bf16 forward costs ~3 dB
         # of PSNR on rendered frames (measured) for ~12% render speed — the
         # wrong trade everywhere except inside the train step.
