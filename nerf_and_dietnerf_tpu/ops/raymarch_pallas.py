@@ -40,11 +40,21 @@ from nerf_and_dietnerf_tpu.models.mlp import (
 
 Params = Dict[str, Any]
 
-TILE_ROWS = 2048      # rows (= ray-samples) per forward grid step (forward
-                      # stores no activations, so VMEM stays small; larger
-                      # tiles amortize per-grid-step overhead)
-TILE_ROWS_BWD = 512   # backward re-materializes all activations in-tile, so
-                      # its VMEM footprint is ~4x forward's — use a small tile
+TILE_ROWS = 4096      # rows (= ray-samples) per forward grid step — best of
+                      # the in-scan sweep (tools/exp_tiles2.py: 7.51 ms vs
+                      # 7.61 @ 2048, 8.44 @ 8192 for 786k rows on v5e)
+TILE_ROWS_BWD = 2048  # backward re-materializes activations in-tile (VMEM
+                      # ~4x forward's); needs the raised vmem limit below
+                      # (sweep: 23.06 ms vs 24.24 @ 512 for fwd+bwd)
+
+# v5e has 128 MiB of physical VMEM; Mosaic's default scoped-vmem limit is
+# 16 MiB, which caps the row tiles at the sizes above. Raise it so bigger
+# tiles (fewer grid steps => fewer pipeline bubbles) compile.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 
 def _interpret() -> bool:
@@ -250,6 +260,7 @@ def _forward_pallas(params, config: MLPConfig, enc_xyz, enc_dir, cd):
             bytes_accessed=x.size * 4 + x.shape[0] * 16,
             transcendentals=0,
         ),
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(*inputs)
     return out[:n]
@@ -399,6 +410,7 @@ def _backward_pallas(params, config: MLPConfig, enc_xyz, enc_dir, cd, g):
             bytes_accessed=2 * x.size * 4,
             transcendentals=0,
         ),
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(*inputs)
 
