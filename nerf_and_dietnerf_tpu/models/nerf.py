@@ -104,6 +104,30 @@ def render_rays(
     direction components to the view branch, broadcast over samples.
     """
     n_rays, n_samples = z_values.shape
+
+    if config.backend == "pallas":
+        # Fully fused path: point-gen + positional encoding happen inside the
+        # kernel from per-ray data (~4 MB/step vs ~805 MB of lane-padded
+        # per-sample encodings), see ops/raymarch_pallas.apply_raymarch_fused.
+        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+
+        comps = (
+            cameras.view_direction_components(rays_dirs, config.mlp.n_angles)
+            if config.mlp.uses_view_dirs
+            else None
+        )
+        if config.mesh is not None:
+            raw = raymarch_pallas.apply_raymarch_fused_sharded(
+                mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
+                config.compute_dtype, mesh=config.mesh, axis=config.mesh_axis,
+            )
+        else:
+            raw = raymarch_pallas.apply_raymarch_fused(
+                mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
+                config.compute_dtype,
+            )
+        return rendering.composite(raw, z_values)
+
     points = cameras.sample_points_along_rays(rays_orig, rays_dirs, z_values)[..., :3]
     enc_xyz = encoding.encode_xyz(points.reshape(-1, 3), config.mlp.n_freq_xyz)
 

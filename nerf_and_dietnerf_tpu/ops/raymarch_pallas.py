@@ -225,16 +225,23 @@ def _mlp_flops(config: MLPConfig, n_rows: int) -> int:
     return 2 * macs * n_rows
 
 
+def _input_dtype(cd):
+    """Feed encodings in the compute dtype when it is narrower than f32: the
+    kernel's first op is .astype(compute_dtype), so pre-casting in XLA gives
+    bit-identical kernel inputs while halving the lane-padded HBM traffic."""
+    return jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
+
+
 def _forward_pallas(params, config: MLPConfig, enc_xyz, enc_dir, cd):
     n = enc_xyz.shape[0]
     has_dir = config.uses_view_dirs
-    x = _pad_rows(enc_xyz.astype(jnp.float32), TILE_ROWS)
+    x = _pad_rows(enc_xyz.astype(_input_dtype(cd)), TILE_ROWS)
     inputs = [x]
     in_specs = [
         pl.BlockSpec((TILE_ROWS, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ]
     if has_dir:
-        d = _pad_rows(enc_dir.astype(jnp.float32), TILE_ROWS)
+        d = _pad_rows(enc_dir.astype(_input_dtype(cd)), TILE_ROWS)
         inputs.append(d)
         in_specs.append(
             pl.BlockSpec((TILE_ROWS, d.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -306,72 +313,99 @@ def _make_backward(config: MLPConfig, cd, n_w, n_b, has_dir):
         d = d_ref[:].astype(cd) if has_dir else None
         ws = [w[:] for w in w_refs]
         bs = [b[:] for b in b_refs]
-        _, acts = _forward_tile(config, cd, x, d, ws, bs)
         g = g_ref[:]  # (tile, 4) f32
-        grgb = g[:, 0:3]
-        gsig = g[:, 3:4]
-
-        h8 = acts[N_TRUNK_LAYERS - 1]
-        b = N_TRUNK_LAYERS
+        g_x, g_d = _backward_tile(config, cd, x, d, g, ws, bs, dw_refs, db_refs)
+        dx_ref[:] = g_x
         if has_dir:
-            rgb_h = acts[-1]
-            wi = n_w - 5  # wrh_h, wrh_d, wro, wsig_h, wsig_d
-            # rgb_out
-            dw_refs[wi + 2][:] += dotA(rgb_h, grgb)
-            db_refs[b + 1][:] += jnp.sum(grgb, axis=0, keepdims=True)
-            g_rgb_h = _leaky_bwd(rgb_h, dotT(grgb, ws[wi + 2]).astype(cd), alpha)
-            # rgb_hidden (split over [h8, d])
-            dw_refs[wi][:] += dotA(h8, g_rgb_h)
-            dw_refs[wi + 1][:] += dotA(d, g_rgb_h)
-            db_refs[b][:] += jnp.sum(g_rgb_h, axis=0, keepdims=True).astype(jnp.float32)
-            # sigma_out (split over [h8, d])
-            dw_refs[wi + 3][:] += dotA(h8, gsig)
-            dw_refs[wi + 4][:] += dotA(d, gsig)
-            db_refs[b + 2][:] += jnp.sum(gsig, axis=0, keepdims=True)
-            g_h = dotT(g_rgb_h, ws[wi]) + dotT(gsig.astype(cd), ws[wi + 3])
-            dd_ref[:] = dotT(g_rgb_h, ws[wi + 1]) + dotT(gsig.astype(cd), ws[wi + 4])
-        else:
-            r0, rgb_h = acts[-2], acts[-1]
-            wi = n_w - 4  # wrh0, wrh, wro, wsig
-            dw_refs[wi + 2][:] += dotA(rgb_h, grgb)
-            db_refs[b + 2][:] += jnp.sum(grgb, axis=0, keepdims=True)
-            g_rgb_h = _leaky_bwd(rgb_h, dotT(grgb, ws[wi + 2]).astype(cd), alpha)
-            dw_refs[wi + 1][:] += dotA(r0, g_rgb_h)
-            db_refs[b + 1][:] += jnp.sum(g_rgb_h, axis=0, keepdims=True).astype(jnp.float32)
-            g_r0 = _leaky_bwd(r0, dotT(g_rgb_h, ws[wi + 1]).astype(cd), alpha)
-            dw_refs[wi][:] += dotA(h8, g_r0)
-            db_refs[b][:] += jnp.sum(g_r0, axis=0, keepdims=True).astype(jnp.float32)
-            dw_refs[wi + 3][:] += dotA(h8, gsig)
-            db_refs[b + 3][:] += jnp.sum(gsig, axis=0, keepdims=True)
-            g_h = dotT(g_r0, ws[wi]) + dotT(gsig.astype(cd), ws[wi + 3])
-
-        # Trunk, reversed. Weight index of trunk layer l start:
-        #   l < SKIP_AFTER: wi = l ; l == SKIP_AFTER: (wi, wi+1) ; l > : l + 1
-        g_x = jnp.zeros((x.shape[0], xyz), jnp.float32)
-        for layer in reversed(range(N_TRUNK_LAYERS)):
-            post = acts[layer]
-            g_pre = _leaky_bwd(post, g_h, alpha).astype(cd)
-            prev = acts[layer - 1] if layer > 0 else x
-            if layer == SKIP_AFTER:
-                dw_refs[layer][:] += dotA(x, g_pre)
-                dw_refs[layer + 1][:] += dotA(prev, g_pre)
-                db_refs[layer][:] += jnp.sum(g_pre, axis=0, keepdims=True).astype(jnp.float32)
-                g_x += dotT(g_pre, ws[layer])
-                g_h = dotT(g_pre, ws[layer + 1])
-            else:
-                widx = layer if layer < SKIP_AFTER else layer + 1
-                dw_refs[widx][:] += dotA(prev, g_pre)
-                db_refs[layer][:] += jnp.sum(g_pre, axis=0, keepdims=True).astype(jnp.float32)
-                g_h = dotT(g_pre, ws[widx])
-        dx_ref[:] = g_x + g_h  # layer-0 contribution arrives via g_h
+            dd_ref[:] = g_d
 
     return kernel
+
+
+def _backward_tile(config: MLPConfig, cd, x, d, g, ws, bs, dw_refs, db_refs):
+    """Shared backward body: recompute the forward in-tile, accumulate weight
+    and bias grads into the VMEM-resident refs, and return the input
+    cotangents ``(g_x, g_d)`` as values (``g_d`` is None for xyz-only nets).
+    """
+    alpha = config.leaky_relu_alpha
+    xyz = config.xyz_dim
+    has_dir = config.uses_view_dirs
+    n_w = len(ws)
+    dotT = functools.partial(  # g @ W^T : contract last dims
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dotA = functools.partial(  # a^T @ g : contract rows -> weight grad
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    _, acts = _forward_tile(config, cd, x, d, ws, bs)
+    grgb = g[:, 0:3]
+    gsig = g[:, 3:4]
+
+    h8 = acts[N_TRUNK_LAYERS - 1]
+    b = N_TRUNK_LAYERS
+    g_d = None
+    if has_dir:
+        rgb_h = acts[-1]
+        wi = n_w - 5  # wrh_h, wrh_d, wro, wsig_h, wsig_d
+        # rgb_out
+        dw_refs[wi + 2][:] += dotA(rgb_h, grgb)
+        db_refs[b + 1][:] += jnp.sum(grgb, axis=0, keepdims=True)
+        g_rgb_h = _leaky_bwd(rgb_h, dotT(grgb, ws[wi + 2]).astype(cd), alpha)
+        # rgb_hidden (split over [h8, d])
+        dw_refs[wi][:] += dotA(h8, g_rgb_h)
+        dw_refs[wi + 1][:] += dotA(d, g_rgb_h)
+        db_refs[b][:] += jnp.sum(g_rgb_h, axis=0, keepdims=True).astype(jnp.float32)
+        # sigma_out (split over [h8, d])
+        dw_refs[wi + 3][:] += dotA(h8, gsig)
+        dw_refs[wi + 4][:] += dotA(d, gsig)
+        db_refs[b + 2][:] += jnp.sum(gsig, axis=0, keepdims=True)
+        g_h = dotT(g_rgb_h, ws[wi]) + dotT(gsig.astype(cd), ws[wi + 3])
+        g_d = dotT(g_rgb_h, ws[wi + 1]) + dotT(gsig.astype(cd), ws[wi + 4])
+    else:
+        r0, rgb_h = acts[-2], acts[-1]
+        wi = n_w - 4  # wrh0, wrh, wro, wsig
+        dw_refs[wi + 2][:] += dotA(rgb_h, grgb)
+        db_refs[b + 2][:] += jnp.sum(grgb, axis=0, keepdims=True)
+        g_rgb_h = _leaky_bwd(rgb_h, dotT(grgb, ws[wi + 2]).astype(cd), alpha)
+        dw_refs[wi + 1][:] += dotA(r0, g_rgb_h)
+        db_refs[b + 1][:] += jnp.sum(g_rgb_h, axis=0, keepdims=True).astype(jnp.float32)
+        g_r0 = _leaky_bwd(r0, dotT(g_rgb_h, ws[wi + 1]).astype(cd), alpha)
+        dw_refs[wi][:] += dotA(h8, g_r0)
+        db_refs[b][:] += jnp.sum(g_r0, axis=0, keepdims=True).astype(jnp.float32)
+        dw_refs[wi + 3][:] += dotA(h8, gsig)
+        db_refs[b + 3][:] += jnp.sum(gsig, axis=0, keepdims=True)
+        g_h = dotT(g_r0, ws[wi]) + dotT(gsig.astype(cd), ws[wi + 3])
+
+    # Trunk, reversed. Weight index of trunk layer l start:
+    #   l < SKIP_AFTER: wi = l ; l == SKIP_AFTER: (wi, wi+1) ; l > : l + 1
+    g_x = jnp.zeros((x.shape[0], xyz), jnp.float32)
+    for layer in reversed(range(N_TRUNK_LAYERS)):
+        post = acts[layer]
+        g_pre = _leaky_bwd(post, g_h, alpha).astype(cd)
+        prev = acts[layer - 1] if layer > 0 else x
+        if layer == SKIP_AFTER:
+            dw_refs[layer][:] += dotA(x, g_pre)
+            dw_refs[layer + 1][:] += dotA(prev, g_pre)
+            db_refs[layer][:] += jnp.sum(g_pre, axis=0, keepdims=True).astype(jnp.float32)
+            g_x += dotT(g_pre, ws[layer])
+            g_h = dotT(g_pre, ws[layer + 1])
+        else:
+            widx = layer if layer < SKIP_AFTER else layer + 1
+            dw_refs[widx][:] += dotA(prev, g_pre)
+            db_refs[layer][:] += jnp.sum(g_pre, axis=0, keepdims=True).astype(jnp.float32)
+            g_h = dotT(g_pre, ws[widx])
+    return g_x + g_h, g_d  # layer-0 contribution arrives via g_h
 
 
 def _backward_pallas(params, config: MLPConfig, enc_xyz, enc_dir, cd, g):
     n = enc_xyz.shape[0]
     has_dir = config.uses_view_dirs
-    x = _pad_rows(enc_xyz.astype(jnp.float32), TILE_ROWS_BWD)
+    x = _pad_rows(enc_xyz.astype(_input_dtype(cd)), TILE_ROWS_BWD)
     g = _pad_rows(g.astype(jnp.float32), TILE_ROWS_BWD)
     inputs = [x]
     row_spec = lambda width: pl.BlockSpec(
@@ -379,7 +413,7 @@ def _backward_pallas(params, config: MLPConfig, enc_xyz, enc_dir, cd, g):
     )
     in_specs = [row_spec(x.shape[1])]
     if has_dir:
-        d = _pad_rows(enc_dir.astype(jnp.float32), TILE_ROWS_BWD)
+        d = _pad_rows(enc_dir.astype(_input_dtype(cd)), TILE_ROWS_BWD)
         inputs.append(d)
         in_specs.append(row_spec(d.shape[1]))
     ws, bs = _flatten_params(params, config, cd)
@@ -561,3 +595,502 @@ def apply_mlp_fused_sharded(
     if not config.uses_view_dirs:
         enc_dir = None
     return _fused_mlp_sharded(params, config, enc_xyz, enc_dir, compute_dtype, mesh, axis)
+
+
+# --------------------------------------------------------------------------- #
+# Fully fused ray-march kernel: point-gen + positional encoding in-kernel     #
+#                                                                             #
+# The enc-input kernels above still stream (N, 33) + (N, 24) f32 encodings    #
+# from HBM — which lane-pad to 128, costing ~805 MB per flagship step — and   #
+# leave the encoding (and its VJP) to XLA. Here the kernel instead takes      #
+# per-RAY data (origin, direction, view components, z samples: ~4 MB/step)    #
+# and computes points and both encodings in VMEM:                             #
+#                                                                             #
+# - grid over ray tiles of R_t rays; each step expands to rows = R_t * S      #
+#   sample-rows via `pltpu.repeat` (ray-major, matching the XLA reshape);     #
+# - the reference's coordinate-major encoding interleave                      #
+#   (core/encoding.py) is folded into constant matrices: theta = pts @ Sx,    #
+#   enc = pts @ P + sin(theta) * maskS + cos(theta) * maskC — no lane         #
+#   shuffles, the layout lives in Sx/P/mask columns;                          #
+# - backward: the shared `_backward_tile` produces d(enc); the encoding VJP   #
+#   chains in-kernel down to dz (the only live input cotangent — it feeds    #
+#   the fine-sampling CDF path), emitted per ray tile as (R_t, S).            #
+# --------------------------------------------------------------------------- #
+
+RAY_TILE_TARGET_ROWS = 4096
+
+
+def _ray_tile(S: int) -> int:
+    """Rays per grid step: multiple of 8 (f32 sublane), rows ~= target."""
+    return 8 * max(1, RAY_TILE_TARGET_ROWS // (8 * S))
+
+
+def _enc_constants(config: MLPConfig):
+    """Constant matrices folding the reference encoding layout (identity +
+    coordinate-major sin/cos interleave, core/encoding.py) into matmuls, with
+    all sin AND cos features produced by a SINGLE transcendental pass:
+
+      theta = [pts | viewcomps] @ scomb + offs   (offs = pi/2 on cos columns)
+      SC    = sin(theta)                          (one VPU pass, <=128 lanes)
+      enc   = pts @ p + SC @ gx ;  encd = SC @ gd
+
+    The backward needs no transcendentals at all: d sin = cos and d cos =
+    -sin are both already present in SC — ``psw`` swaps the sin/cos blocks
+    with the sign flip, so dTheta = (SC @ psw) * dSC.
+    """
+    import math
+
+    import numpy as np
+
+    L = config.n_freq_xyz
+    wx = config.xyz_dim
+    has_dir = config.uses_view_dirs
+    Ld = config.n_freq_dir if has_dir else 0
+    D = (config.n_angles + 1) if has_dir else 0
+    nx = 3 * L            # xyz sin (= cos) feature count
+    nd = D * Ld           # dir sin (= cos) feature count
+    T = 2 * (nx + nd)     # total theta columns (sin blocks then cos blocks)
+    if T > 128:
+        raise ValueError(
+            f"encoding needs {T} theta lanes > 128; lower n_freq_xyz/dir"
+        )
+
+    p = np.zeros((3, wx), np.float32)
+    scomb = np.zeros((3 + D, T), np.float32)
+    offs = np.zeros((1, T), np.float32)
+    gx = np.zeros((T, wx), np.float32)
+    psw = np.zeros((T, T), np.float32)
+
+    # Theta column layout: [xyz-sin (nx) | xyz-cos (nx) | dir-sin (nd) | dir-cos (nd)]
+    def xyz_t(c, k, cos):
+        return c * L + k + (nx if cos else 0)
+
+    def dir_t(c, k, cos):
+        return 2 * nx + c * Ld + k + (nd if cos else 0)
+
+    for c in range(3):
+        base = c * (1 + 2 * L)
+        p[c, base] = 1.0
+        for k in range(L):
+            f = math.pi * (2.0 ** k)
+            ts, tc = xyz_t(c, k, False), xyz_t(c, k, True)
+            scomb[c, ts] = f
+            scomb[c, tc] = f
+            offs[0, tc] = math.pi / 2.0
+            gx[ts, base + 1 + 2 * k] = 1.0
+            gx[tc, base + 2 + 2 * k] = 1.0
+            psw[tc, ts] = 1.0   # cos value feeds the sin slot
+            psw[ts, tc] = -1.0  # -sin value feeds the cos slot
+
+    out = {"p": p, "scomb": scomb, "offs": offs, "gx": gx}
+    if has_dir:
+        wd = config.dir_dim
+        gd = np.zeros((T, wd), np.float32)
+        for c in range(D):
+            base = c * 2 * Ld
+            for k in range(Ld):
+                f = math.pi * (2.0 ** k)
+                ts, tc = dir_t(c, k, False), dir_t(c, k, True)
+                scomb[3 + c, ts] = f
+                scomb[3 + c, tc] = f
+                offs[0, tc] = math.pi / 2.0
+                gd[ts, base + 2 * k] = 1.0
+                gd[tc, base + 2 * k + 1] = 1.0
+                psw[tc, ts] = 1.0
+                psw[ts, tc] = -1.0
+        out["gd"] = gd
+    out["psw"] = psw
+    return out
+
+
+# Mosaic supports only DEFAULT (1-pass bf16, lossy) and HIGHEST (6-pass f32)
+# matmul precision; the one-hot picks and theta matmuls need f32 accuracy.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _encode_rows(config: MLPConfig, rd, E, F, c, S: int):
+    """Expand per-ray data to per-sample rows and encode, all in VMEM.
+
+    :param rd: ``(R_t, 6 [+ D] + S)`` = [origin3 | dir3 | (viewcomps) | z].
+    :param E: ``(rows, R_t)`` one-hot ray picker (row r -> ray r // S).
+    :param F: ``(rows, S)`` one-hot column picker (row r -> sample r % S).
+    :return: (enc, encd | None, dvec, SC) — SC is the shared sin/cos block
+        the backward reuses for the encoding VJP.
+    """
+    has_dir = config.uses_view_dirs
+    D = (config.n_angles + 1) if has_dir else 0
+
+    ray_attrs = jnp.dot(E, rd[:, : 6 + D], precision=_HI)  # one pick for o/d/vc
+    o = ray_attrs[:, 0:3]
+    dvec = ray_attrs[:, 3:6]
+    ez = jnp.dot(E, rd[:, 6 + D : 6 + D + S], precision=_HI)
+    z_row = jnp.sum(ez * F, axis=-1, keepdims=True)
+    pts = o + z_row * dvec  # (rows, 3) f32
+
+    u = jnp.concatenate([pts, ray_attrs[:, 6 : 6 + D]], axis=1) if has_dir else pts
+    theta = jnp.dot(u, c["scomb"], precision=_HI) + c["offs"]
+    SC = jnp.sin(theta)  # the ONLY transcendental pass
+    enc = jnp.dot(pts, c["p"], precision=_HI) + jnp.dot(SC, c["gx"], precision=_HI)
+    encd = jnp.dot(SC, c["gd"], precision=_HI) if has_dir else None
+    return enc, encd, dvec, SC
+
+
+def _enc_const_list(config: MLPConfig, consts):
+    names = ["p", "scomb", "offs", "gx", "psw"] + (
+        ["gd"] if config.uses_view_dirs else []
+    )
+    return names, [jnp.asarray(consts[n]) for n in names]
+
+
+def _make_forward_rays(config: MLPConfig, cd, n_w, n_b, S, R_t, names):
+    def kernel(*refs):
+        rd_ref, e_ref, f_ref = refs[0], refs[1], refs[2]
+        w_refs = refs[3 : 3 + n_w]
+        b_refs = refs[3 + n_w : 3 + n_w + n_b]
+        c_refs = refs[3 + n_w + n_b : 3 + n_w + n_b + len(names)]
+        out_ref = refs[-1]
+
+        consts = {n: r[:] for n, r in zip(names, c_refs)}
+        enc, encd, _, _ = _encode_rows(config, rd_ref[:], e_ref[:], f_ref[:], consts, S)
+        ws = [w[:] for w in w_refs]
+        bs = [b[:] for b in b_refs]
+        out, _ = _forward_tile(
+            config, cd, enc.astype(cd),
+            encd.astype(cd) if encd is not None else None, ws, bs,
+        )
+        out_ref[:] = out
+
+    return kernel
+
+
+def _make_backward_rays(config: MLPConfig, cd, n_w, n_b, S, R_t, names):
+    dotT = functools.partial(  # g @ W^T : contract last dims
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=_HI,
+        preferred_element_type=jnp.float32,
+    )
+    dotE = functools.partial(  # E^T @ x : contract rows
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=_HI,
+        preferred_element_type=jnp.float32,
+    )
+
+    def kernel(*refs):
+        rd_ref, e_ref, f_ref = refs[0], refs[1], refs[2]
+        w_refs = refs[3 : 3 + n_w]
+        b_refs = refs[3 + n_w : 3 + n_w + n_b]
+        c_refs = refs[3 + n_w + n_b : 3 + n_w + n_b + len(names)]
+        g_ref = refs[3 + n_w + n_b + len(names)]
+        outs = refs[4 + n_w + n_b + len(names) :]
+        dz_ref = outs[0]
+        dw_refs = outs[1 : 1 + n_w]
+        db_refs = outs[1 + n_w :]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in (*dw_refs, *db_refs):
+                r[:] = jnp.zeros_like(r)
+
+        consts = {n: r[:] for n, r in zip(names, c_refs)}
+        E = e_ref[:]
+        F = f_ref[:]
+        enc, encd, dvec, SC = _encode_rows(config, rd_ref[:], E, F, consts, S)
+        ws = [w[:] for w in w_refs]
+        bs = [b[:] for b in b_refs]
+        g_x, g_d = _backward_tile(
+            config, cd, enc.astype(cd),
+            encd.astype(cd) if encd is not None else None,
+            g_ref[:], ws, bs, dw_refs, db_refs,
+        )
+        # Encoding VJP — no transcendentals: d(sin theta) = SC @ psw.
+        dSC = dotT(g_x, consts["gx"])
+        if config.uses_view_dirs:
+            dSC = dSC + dotT(g_d, consts["gd"])
+        dtheta = jnp.dot(SC, consts["psw"], precision=_HI) * dSC
+        du = dotT(dtheta, consts["scomb"])
+        dpts = du[:, 0:3] + dotT(g_x, consts["p"])
+        dz_row = jnp.sum(dpts * dvec, axis=-1, keepdims=True)  # (rows, 1)
+        dz_ref[:] = dotE(E, dz_row * F)                         # (R_t, S)
+
+    return kernel
+
+
+def _expand_onehots(R_t: int, S: int):
+    import numpy as np
+
+    rows = R_t * S
+    r = np.arange(rows)
+    E = (r[:, None] // S == np.arange(R_t)[None, :]).astype(np.float32)
+    F = (r[:, None] % S == np.arange(S)[None, :]).astype(np.float32)
+    return jnp.asarray(E), jnp.asarray(F)
+
+
+def _pack_ray_data(config: MLPConfig, orig3, dirs3, viewcomps, z, R_t: int):
+    parts = [orig3, dirs3]
+    if config.uses_view_dirs:
+        parts.append(viewcomps)
+    parts.append(z)
+    rd = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=1)
+    return _pad_rows(rd, R_t)
+
+
+def _raymarch_flops(config: MLPConfig, n_rows: int) -> int:
+    # MLP flops dominate; add the encoding matmuls for the scheduler's sake.
+    extra = 2 * n_rows * 3 * (2 * config.xyz_dim) + (
+        2 * n_rows * (config.n_angles + 1) * config.dir_dim
+        if config.uses_view_dirs
+        else 0
+    )
+    return _mlp_flops(config, n_rows) + extra
+
+
+def _forward_rays_pallas(params, config: MLPConfig, rd, S: int, R_t: int, cd):
+    n_rays_p = rd.shape[0]
+    rows = R_t * S
+    E, F = _expand_onehots(R_t, S)
+    ws, bs = _flatten_params(params, config, cd)
+    names, cvals = _enc_const_list(config, _enc_constants(config))
+
+    inputs = [rd, E, F, *ws, *bs, *cvals]
+    const = lambda t: pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((R_t, rd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const(E),
+        const(F),
+        *[const(t) for t in (*ws, *bs, *cvals)],
+    ]
+    grid = n_rays_p // R_t
+    out = pl.pallas_call(
+        _make_forward_rays(config, cd, len(ws), len(bs), S, R_t, names),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rays_p * S, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=_raymarch_flops(config, n_rays_p * S),
+            bytes_accessed=rd.size * 4 + n_rays_p * S * 16,
+            transcendentals=2 * n_rays_p * S * (config.xyz_dim + config.dir_dim),
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(*inputs)
+    return out  # (n_rays_p * S, 4)
+
+
+def _backward_rays_pallas(params, config: MLPConfig, rd, S: int, R_t: int, cd, g):
+    n_rays_p = rd.shape[0]
+    rows = R_t * S
+    E, F = _expand_onehots(R_t, S)
+    ws, bs = _flatten_params(params, config, cd)
+    names, cvals = _enc_const_list(config, _enc_constants(config))
+
+    inputs = [rd, E, F, *ws, *bs, *cvals, g]
+    const = lambda t: pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((R_t, rd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const(E),
+        const(F),
+        *[const(t) for t in (*ws, *bs, *cvals)],
+        pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((n_rays_p, S), jnp.float32)]
+    out_specs = [pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    for t in (*ws, *bs):
+        out_shapes.append(jax.ShapeDtypeStruct(t.shape, jnp.float32))
+        out_specs.append(const(t))
+
+    grid = n_rays_p // R_t
+    outs = pl.pallas_call(
+        _make_backward_rays(config, cd, len(ws), len(bs), S, R_t, names),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * _raymarch_flops(config, n_rays_p * S),
+            bytes_accessed=2 * rd.size * 4,
+            transcendentals=4 * n_rays_p * S * (config.xyz_dim + config.dir_dim),
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(*inputs)
+    dz = outs[0]
+    dws = outs[1 : 1 + len(ws)]
+    dbs = outs[1 + len(ws) :]
+    return dz, _unflatten_grads(dws, dbs, params, config)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6))
+def _fused_raymarch(params, config: MLPConfig, orig3, dirs3, viewcomps, z, cd):
+    # z: (n_rays, S). Returns raw (n_rays, S, 4) float32.
+    return _fused_raymarch_fwd(params, config, orig3, dirs3, viewcomps, z, cd)[0]
+
+
+def _fused_raymarch_fwd(params, config, orig3, dirs3, viewcomps, z, cd):
+    n_rays, S = z.shape
+    R_t = _ray_tile(S)
+    rd = _pack_ray_data(config, orig3, dirs3, viewcomps, z, R_t)
+    out = _forward_rays_pallas(params, config, rd, S, R_t, cd)
+    out = out.reshape(rd.shape[0], S, 4)[:n_rays]
+    return out, (params, rd, (n_rays, S, R_t))
+
+
+def _fused_raymarch_bwd(config, cd, res, g):
+    params, rd, (n_rays, S, R_t) = res
+    n_rays_p = rd.shape[0]
+    g_full = jnp.zeros((n_rays_p * S, 4), jnp.float32)
+    g_full = g_full.at[: n_rays * S].set(g.reshape(n_rays * S, 4).astype(jnp.float32))
+    dz, dparams = _backward_rays_pallas(params, config, rd, S, R_t, cd, g_full)
+    dparams = jax.tree.map(lambda p, dp: dp.astype(p.dtype), params, dparams)
+    dz = dz[:n_rays]
+    zeros3 = jnp.zeros((n_rays, 3), jnp.float32)
+    dvc = (
+        jnp.zeros((n_rays, config.n_angles + 1), jnp.float32)
+        if config.uses_view_dirs
+        else None
+    )
+    return dparams, zeros3, zeros3, dvc, dz
+
+
+_fused_raymarch.defvjp(
+    lambda params, config, orig3, dirs3, viewcomps, z, cd: _fused_raymarch_fwd(
+        params, config, orig3, dirs3, viewcomps, z, cd
+    ),
+    _fused_raymarch_bwd,
+)
+
+
+def apply_raymarch_fused(
+    params: Params,
+    config: MLPConfig,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    viewcomps: jnp.ndarray | None,
+    z_values: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fully fused ray-march MLP evaluation.
+
+    :param rays_orig: ``(n_rays, >=3)`` ray origins (homogeneous ok).
+    :param rays_dirs: ``(n_rays, >=3)`` unnormalized ray directions.
+    :param viewcomps: ``(n_rays, n_angles + 1)`` view-direction components
+        (``core/cameras.view_direction_components``), or None for xyz-only.
+    :param z_values: ``(n_rays, S)``.
+    :return: raw radiance ``(n_rays, S, 4)`` float32.
+
+    Differentiable w.r.t. ``params`` and ``z_values`` (the live paths);
+    origin/direction/viewcomp cotangents are structurally zero.
+    """
+    if config.uses_view_dirs and viewcomps is None:
+        raise ValueError("this MLP config requires view-direction components")
+    return _fused_raymarch(
+        params, config,
+        rays_orig[:, :3], rays_dirs[:, :3],
+        viewcomps if config.uses_view_dirs else None,
+        z_values.astype(jnp.float32), compute_dtype,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# shard_map wrapper for the fused ray-march kernel (mesh runs)                #
+# --------------------------------------------------------------------------- #
+
+
+def _raymarch_fwd_shard(params, config: MLPConfig, orig3, dirs3, vc, z, cd):
+    n_rays, S = z.shape
+    R_t = _ray_tile(S)
+    rd = _pack_ray_data(config, orig3, dirs3, vc, z, R_t)
+    out = _forward_rays_pallas(params, config, rd, S, R_t, cd)
+    return out.reshape(rd.shape[0], S, 4)[:n_rays]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6, 7, 8))
+def _fused_raymarch_sharded(params, config: MLPConfig, orig3, dirs3, vc, z, cd, mesh, axis):
+    return _sharded_raymarch_forward(params, config, orig3, dirs3, vc, z, cd, mesh, axis)
+
+
+def _sharded_raymarch_forward(params, config, orig3, dirs3, vc, z, cd, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    _row_shard(z.shape[0], mesh, axis)
+    has_dir = config.uses_view_dirs
+    row = P(axis)
+    f = jax.shard_map(
+        lambda p, o, d, v, zz: _raymarch_fwd_shard(
+            p, config, o, d, v if has_dir else None, zz, cd
+        ),
+        mesh=mesh,
+        in_specs=(P(), row, row, row if has_dir else P(), row),
+        out_specs=row,
+        check_vma=False,
+    )
+    return f(params, orig3, dirs3, vc if has_dir else jnp.zeros((), jnp.float32), z)
+
+
+def _sharded_raymarch_fwd(params, config, orig3, dirs3, vc, z, cd, mesh, axis):
+    out = _sharded_raymarch_forward(params, config, orig3, dirs3, vc, z, cd, mesh, axis)
+    return out, (params, orig3, dirs3, vc, z)
+
+
+def _sharded_raymarch_bwd(config, cd, mesh, axis, res, g):
+    from jax.sharding import PartitionSpec as P
+
+    params, orig3, dirs3, vc, z = res
+    has_dir = config.uses_view_dirs
+    row = P(axis)
+
+    def body(p, o, d, v, zz, gg):
+        n_rays, S = zz.shape
+        R_t = _ray_tile(S)
+        rd = _pack_ray_data(config, o, d, v if has_dir else None, zz, R_t)
+        g_full = jnp.zeros((rd.shape[0] * S, 4), jnp.float32)
+        g_full = g_full.at[: n_rays * S].set(
+            gg.reshape(n_rays * S, 4).astype(jnp.float32)
+        )
+        dz, dparams = _backward_rays_pallas(p, config, rd, S, R_t, cd, g_full)
+        dparams = jax.lax.psum(dparams, axis)
+        return dparams, dz[:n_rays]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), row, row, row if has_dir else P(), row, row),
+        out_specs=(P(), row),
+        check_vma=False,
+    )
+    dparams, dz = f(
+        params, orig3, dirs3, vc if has_dir else jnp.zeros((), jnp.float32), z, g
+    )
+    dparams = jax.tree.map(lambda p, dp: dp.astype(p.dtype), params, dparams)
+    zeros3 = jnp.zeros_like(orig3)
+    dvc = jnp.zeros_like(vc) if has_dir else None
+    return dparams, zeros3, jnp.zeros_like(dirs3), dvc, dz
+
+
+_fused_raymarch_sharded.defvjp(_sharded_raymarch_fwd, _sharded_raymarch_bwd)
+
+
+def apply_raymarch_fused_sharded(
+    params: Params,
+    config: MLPConfig,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    viewcomps: jnp.ndarray | None,
+    z_values: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+    *,
+    mesh,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Mesh-parallel :func:`apply_raymarch_fused`: rays sharded over ``axis``,
+    params replicated, weight-grad psum over ICI in the backward."""
+    if config.uses_view_dirs and viewcomps is None:
+        raise ValueError("this MLP config requires view-direction components")
+    return _fused_raymarch_sharded(
+        params, config,
+        rays_orig[:, :3], rays_dirs[:, :3],
+        viewcomps if config.uses_view_dirs else None,
+        z_values.astype(jnp.float32), compute_dtype, mesh, axis,
+    )

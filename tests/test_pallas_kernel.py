@@ -169,3 +169,115 @@ def test_sharded_training_step_runs_on_mesh():
     for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pallas)):
         scale = max(1e-6, float(jnp.max(jnp.abs(a))))
         np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+# Fully fused ray-march kernel (point-gen + encoding in-kernel)               #
+# --------------------------------------------------------------------------- #
+
+
+def _rays(n_rays, S, key=1):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(key), 3)
+    orig = jax.random.normal(k1, (n_rays, 4))
+    dirs = jax.random.normal(k2, (n_rays, 4))
+    z = jax.random.uniform(k3, (n_rays, S), minval=1.0, maxval=5.0)
+    return orig, dirs, z
+
+
+def _xla_reference(cfg, params, orig, dirs, z):
+    from nerf_and_dietnerf_tpu.core import cameras, encoding
+
+    n_rays, S = z.shape
+    pts = cameras.sample_points_along_rays(orig, dirs, z)[..., :3].reshape(-1, 3)
+    ex = encoding.encode_xyz(pts, cfg.n_freq_xyz)
+    ed = None
+    if cfg.uses_view_dirs:
+        vc = cameras.view_direction_components(dirs, cfg.n_angles)
+        e = encoding.encode_view_dirs(vc, cfg.n_freq_dir)
+        ed = jnp.broadcast_to(e[:, None, :], (n_rays, S, e.shape[-1])).reshape(
+            n_rays * S, -1
+        )
+    return m.apply_mlp(params, cfg, ex, ed, compute_dtype=jnp.float32).reshape(
+        n_rays, S, 4
+    )
+
+
+@pytest.mark.parametrize("cfg", CASES, ids=["view_dirs", "xyz_only"])
+def test_raymarch_fused_matches_xla(cfg):
+    """Fwd and grads (params AND z — the fine-sampling path) vs the XLA
+    pipeline, with a ray count that is not a multiple of the ray tile."""
+    from nerf_and_dietnerf_tpu.core import cameras
+
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    n_rays, S = 13, 6
+    orig, dirs, z = _rays(n_rays, S)
+    vc = (
+        cameras.view_direction_components(dirs, cfg.n_angles)
+        if cfg.uses_view_dirs
+        else None
+    )
+
+    ref = _xla_reference(cfg, params, orig, dirs, z)
+    got = rp.apply_raymarch_fused(params, cfg, orig, dirs, vc, z, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4)
+
+    g = jax.random.normal(jax.random.PRNGKey(5), (n_rays, S, 4))
+    gr = jax.grad(
+        lambda p, zz: jnp.sum(_xla_reference(cfg, p, orig, dirs, zz) * g),
+        argnums=(0, 1),
+    )(params, z)
+    gn = jax.grad(
+        lambda p, zz: jnp.sum(
+            rp.apply_raymarch_fused(p, cfg, orig, dirs, vc, zz, jnp.float32) * g
+        ),
+        argnums=(0, 1),
+    )(params, z)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gn)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
+
+
+def test_raymarch_fused_sharded_matches_single():
+    from nerf_and_dietnerf_tpu.core import cameras
+    from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
+
+    cfg = CASES[0]
+    mesh = mesh_lib.make_mesh()
+    n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    n_rays, S = 2 * n_dev, 6
+    orig, dirs, z = _rays(n_rays, S)
+    vc = cameras.view_direction_components(dirs, cfg.n_angles)
+
+    ref = _xla_reference(cfg, params, orig, dirs, z)
+    got = jax.jit(
+        lambda p, o, d, v, zz: rp.apply_raymarch_fused_sharded(
+            p, cfg, o, d, v, zz, jnp.float32, mesh=mesh, axis=mesh_lib.DATA_AXIS
+        )
+    )(params, orig, dirs, vc, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4)
+
+    g = jax.random.normal(jax.random.PRNGKey(5), (n_rays, S, 4))
+    gr = jax.grad(
+        lambda p, zz: jnp.sum(_xla_reference(cfg, p, orig, dirs, zz) * g),
+        argnums=(0, 1),
+    )(params, z)
+    gn = jax.jit(
+        jax.grad(
+            lambda p, zz: jnp.sum(
+                rp.apply_raymarch_fused_sharded(
+                    p, cfg, orig, dirs, vc, zz, jnp.float32,
+                    mesh=mesh, axis=mesh_lib.DATA_AXIS,
+                )
+                * g
+            ),
+            argnums=(0, 1),
+        )
+    )(params, z)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gn)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
