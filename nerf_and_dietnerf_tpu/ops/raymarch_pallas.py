@@ -600,24 +600,41 @@ def apply_mlp_fused_sharded(
 # --------------------------------------------------------------------------- #
 # Fully fused ray-march kernel: point-gen + positional encoding in-kernel     #
 #                                                                             #
-# The enc-input kernels above still stream (N, 33) + (N, 24) f32 encodings    #
-# from HBM — which lane-pad to 128, costing ~805 MB per flagship step — and   #
-# leave the encoding (and its VJP) to XLA. Here the kernel instead takes      #
-# per-RAY data (origin, direction, view components, z samples: ~4 MB/step)    #
-# and computes points and both encodings in VMEM:                             #
+# The enc-input kernels above still stream (N, 33) + (N, 24) encodings from  #
+# HBM — which lane-pad to 128, costing ~805 MB per flagship step — and leave  #
+# the encoding (and its VJP) to XLA. Here the kernel instead takes per-RAY    #
+# data (origin, direction, view components: (R, 9)) plus the (R, S) z table  #
+# (~4 MB/step total) and builds points and both encodings in VMEM.           #
 #                                                                             #
-# - grid over ray tiles of R_t rays; each step expands to rows = R_t * S      #
-#   sample-rows via `pltpu.repeat` (ray-major, matching the XLA reshape);     #
-# - the reference's coordinate-major encoding interleave                      #
-#   (core/encoding.py) is folded into constant matrices: theta = pts @ Sx,    #
-#   enc = pts @ P + sin(theta) * maskS + cos(theta) * maskC — no lane         #
-#   shuffles, the layout lives in Sx/P/mask columns;                          #
-# - backward: the shared `_backward_tile` produces d(enc); the encoding VJP   #
-#   chains in-kernel down to dz (the only live input cotangent — it feeds    #
-#   the fine-sampling CDF path), emitted per ray tile as (R_t, S).            #
+# Row expansion (the hard part on TPU — no gathers, no generic reshapes in    #
+# Mosaic) uses a SAMPLE-MAJOR row layout within each ray tile                 #
+# (row = s * R_t + r), because then every expansion is cheap and exact:       #
+#                                                                             #
+# - per-ray attrs: ``pltpu.repeat(rd, S, axis=0)`` (= jnp.tile): row picks    #
+#   ray ``row % R_t``  — exact f32, no matmul;                                #
+# - per-sample z:  ``repeat(z, S, axis=0) * F2`` + lane-reduce, where F2 is   #
+#   the constant one-hot ``F2[row, s] = (row // R_t == s)`` — exact f32.      #
+#                                                                             #
+# (A first version expanded rows with one-hot matmuls at HIGHEST precision —  #
+# measured 2x slower than the enc-input kernel: every small matmul costs a    #
+# full 128-lane MXU pass x6 for HIGHEST. This version has NO expansion        #
+# matmuls at all.)                                                            #
+#                                                                             #
+# The encoding itself is VPU-only: theta columns are just ``f_k * coord``,    #
+# built with per-channel broadcast-FMAs against constant frequency masks      #
+# (cos columns get a pi/2 phase offset so ONE sin pass produces everything,   #
+# and the backward's d(sin)/d(cos) is uniformly ``cos(theta)``). The          #
+# reference's coordinate-major feature interleave (core/encoding.py) is NOT   #
+# materialized in-kernel: the kernel uses its own [identity | sin | cos]      #
+# block order and the first-layer / view-branch weight ROWS are permuted to   #
+# match on the host (exact, free) — see ``_enc_layout`` / ``_flatten_params_rays``.
 # --------------------------------------------------------------------------- #
 
 RAY_TILE_TARGET_ROWS = 4096
+
+# Mosaic supports only DEFAULT (1-pass bf16, lossy) and HIGHEST (6-pass f32)
+# matmul precision; the dz scatter-back matmul keeps f32 gradient accuracy.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _ray_tile(S: int) -> int:
@@ -625,133 +642,164 @@ def _ray_tile(S: int) -> int:
     return 8 * max(1, RAY_TILE_TARGET_ROWS // (8 * S))
 
 
-def _enc_constants(config: MLPConfig):
-    """Constant matrices folding the reference encoding layout (identity +
-    coordinate-major sin/cos interleave, core/encoding.py) into matmuls, with
-    all sin AND cos features produced by a SINGLE transcendental pass:
+def _enc_layout(config: MLPConfig):
+    """Kernel-internal encoding layout + the weight-row permutation onto it.
 
-      theta = [pts | viewcomps] @ scomb + offs   (offs = pi/2 on cos columns)
-      SC    = sin(theta)                          (one VPU pass, <=128 lanes)
-      enc   = pts @ p + SC @ gx ;  encd = SC @ gd
+    Theta columns (``T = 2 * (nx + nd)`` of them, all produced by one sin):
+    ``[xyz-sin (nx) | xyz-cos (nx) | dir-sin (nd) | dir-cos (nd)]`` with
+    ``nx = 3 * L_xyz`` (c-major: col c*L+k) and ``nd = D * L_dir``.
 
-    The backward needs no transcendentals at all: d sin = cos and d cos =
-    -sin are both already present in SC — ``psw`` swaps the sin/cos blocks
-    with the sign flip, so dTheta = (SC @ psw) * dSC.
+    Kernel enc feature order: ``[x, y, z | theta-sin-x | theta-cos-x]`` and
+    ``encd = [theta-sin-dir | theta-cos-dir]``; ``perm_xyz`` / ``perm_dir``
+    map kernel feature j -> the reference's coordinate-major column
+    (``core/encoding.py``), i.e. ``W_kernel = W_ref[perm]``.
     """
     import math
 
     import numpy as np
 
     L = config.n_freq_xyz
-    wx = config.xyz_dim
     has_dir = config.uses_view_dirs
     Ld = config.n_freq_dir if has_dir else 0
     D = (config.n_angles + 1) if has_dir else 0
-    nx = 3 * L            # xyz sin (= cos) feature count
-    nd = D * Ld           # dir sin (= cos) feature count
-    T = 2 * (nx + nd)     # total theta columns (sin blocks then cos blocks)
-    if T > 128:
-        raise ValueError(
-            f"encoding needs {T} theta lanes > 128; lower n_freq_xyz/dir"
-        )
+    nx = 3 * L
+    nd = D * Ld
+    T = 2 * (nx + nd)
 
-    p = np.zeros((3, wx), np.float32)
-    scomb = np.zeros((3 + D, T), np.float32)
-    offs = np.zeros((1, T), np.float32)
-    gx = np.zeros((T, wx), np.float32)
-    psw = np.zeros((T, T), np.float32)
-
-    # Theta column layout: [xyz-sin (nx) | xyz-cos (nx) | dir-sin (nd) | dir-cos (nd)]
-    def xyz_t(c, k, cos):
-        return c * L + k + (nx if cos else 0)
-
-    def dir_t(c, k, cos):
-        return 2 * nx + c * Ld + k + (nd if cos else 0)
-
+    masks = np.zeros((3 + D, max(T, 1)), np.float32)
+    offs = np.zeros((1, max(T, 1)), np.float32)
     for c in range(3):
-        base = c * (1 + 2 * L)
-        p[c, base] = 1.0
         for k in range(L):
             f = math.pi * (2.0 ** k)
-            ts, tc = xyz_t(c, k, False), xyz_t(c, k, True)
-            scomb[c, ts] = f
-            scomb[c, tc] = f
-            offs[0, tc] = math.pi / 2.0
-            gx[ts, base + 1 + 2 * k] = 1.0
-            gx[tc, base + 2 + 2 * k] = 1.0
-            psw[tc, ts] = 1.0   # cos value feeds the sin slot
-            psw[ts, tc] = -1.0  # -sin value feeds the cos slot
+            masks[c, c * L + k] = f
+            masks[c, nx + c * L + k] = f
+            offs[0, nx + c * L + k] = math.pi / 2.0
+    for c in range(D):
+        for k in range(Ld):
+            f = math.pi * (2.0 ** k)
+            masks[3 + c, 2 * nx + c * Ld + k] = f
+            masks[3 + c, 2 * nx + nd + c * Ld + k] = f
+            offs[0, 2 * nx + nd + c * Ld + k] = math.pi / 2.0
 
-    out = {"p": p, "scomb": scomb, "offs": offs, "gx": gx}
-    if has_dir:
-        wd = config.dir_dim
-        gd = np.zeros((T, wd), np.float32)
-        for c in range(D):
-            base = c * 2 * Ld
-            for k in range(Ld):
-                f = math.pi * (2.0 ** k)
-                ts, tc = dir_t(c, k, False), dir_t(c, k, True)
-                scomb[3 + c, ts] = f
-                scomb[3 + c, tc] = f
-                offs[0, tc] = math.pi / 2.0
-                gd[ts, base + 2 * k] = 1.0
-                gd[tc, base + 2 * k + 1] = 1.0
-                psw[tc, ts] = 1.0
-                psw[ts, tc] = -1.0
-        out["gd"] = gd
-    out["psw"] = psw
-    return out
+    # Kernel xyz feature j -> reference column (identity at c*(1+2L), then
+    # sin/cos interleaved per octave).
+    perm_xyz = np.zeros((3 + 2 * nx,), np.int64)
+    for j in range(3):
+        perm_xyz[j] = j * (1 + 2 * L)
+    for c in range(3):
+        for k in range(L):
+            perm_xyz[3 + c * L + k] = c * (1 + 2 * L) + 1 + 2 * k
+            perm_xyz[3 + nx + c * L + k] = c * (1 + 2 * L) + 2 + 2 * k
 
+    perm_dir = np.zeros((2 * nd,), np.int64)
+    for c in range(D):
+        for k in range(Ld):
+            perm_dir[c * Ld + k] = c * 2 * Ld + 2 * k
+            perm_dir[nd + c * Ld + k] = c * 2 * Ld + 2 * k + 1
 
-# Mosaic supports only DEFAULT (1-pass bf16, lossy) and HIGHEST (6-pass f32)
-# matmul precision; the one-hot picks and theta matmuls need f32 accuracy.
-_HI = jax.lax.Precision.HIGHEST
+    return {
+        "masks": masks, "offs": offs, "T": T, "nx": nx, "nd": nd, "D": D,
+        "perm_xyz": perm_xyz, "perm_dir": perm_dir,
+    }
 
 
-def _encode_rows(config: MLPConfig, rd, E, F, c, S: int):
-    """Expand per-ray data to per-sample rows and encode, all in VMEM.
+def _ray_perm_indices(config: MLPConfig):
+    """ws-list indices whose kernels have encoding-feature ROWS, with the
+    permutation each needs (see ``_flatten_params`` for the list layout)."""
+    lay = _enc_layout(config)
+    px, pd = lay["perm_xyz"], lay["perm_dir"]
+    idx = {0: px, SKIP_AFTER: px}  # w0 and the skip layer's xyz block
+    if config.uses_view_dirs:
+        n_trunk_ws = N_TRUNK_LAYERS + 1  # skip layer contributes two entries
+        idx[n_trunk_ws + 1] = pd  # wrh_d
+        idx[n_trunk_ws + 4] = pd  # wsig_d
+    return idx
 
-    :param rd: ``(R_t, 6 [+ D] + S)`` = [origin3 | dir3 | (viewcomps) | z].
-    :param E: ``(rows, R_t)`` one-hot ray picker (row r -> ray r // S).
-    :param F: ``(rows, S)`` one-hot column picker (row r -> sample r % S).
-    :return: (enc, encd | None, dvec, SC) — SC is the shared sin/cos block
-        the backward reuses for the encoding VJP.
+
+def _flatten_params_rays(params: Params, config: MLPConfig, dtype):
+    """``_flatten_params`` + row-permutation of the encoding-input weights
+    into the kernel's enc layout (exact — a host-side gather)."""
+    ws, bs = _flatten_params(params, config, dtype)
+    ws = list(ws)
+    for i, perm in _ray_perm_indices(config).items():
+        ws[i] = ws[i][perm]
+    return ws, bs
+
+
+def _unflatten_grads_rays(ws_grads, bs_grads, params: Params, config: MLPConfig):
+    """Inverse of the row permutation, then the shared unflatten."""
+    import numpy as np
+
+    ws_grads = list(ws_grads)
+    for i, perm in _ray_perm_indices(config).items():
+        ws_grads[i] = ws_grads[i][np.argsort(perm)]
+    return _unflatten_grads(ws_grads, bs_grads, params, config)
+
+
+def _expand_consts(R_t: int, S: int, need_m1: bool):
+    """F2[row, s] = (row // R_t == s); M1[row, r] = (row % R_t == r)."""
+    import numpy as np
+
+    rows = R_t * S
+    r = np.arange(rows)
+    F2 = (r[:, None] // R_t == np.arange(S)[None, :]).astype(np.float32)
+    M1 = (
+        (r[:, None] % R_t == np.arange(R_t)[None, :]).astype(np.float32)
+        if need_m1
+        else None
+    )
+    return jnp.asarray(F2), (jnp.asarray(M1) if need_m1 else None)
+
+
+def _encode_tile(config: MLPConfig, lay, rd, z, F2, masks, offs, S: int):
+    """Expand one ray tile to sample-major rows and encode, all in VMEM.
+
+    :param rd: ``(R_t, 6 + D)`` = [origin3 | dir3 | viewcomps] f32.
+    :param z: ``(R_t, S)`` f32.
+    :param F2: ``(R_t * S, S)`` one-hot sample picker.
+    :return: ``(enc, encd | None, dvec, theta | None)`` — theta is reused by
+        the backward (d sin = cos(theta), the pi/2 offsets included).
     """
     has_dir = config.uses_view_dirs
-    D = (config.n_angles + 1) if has_dir else 0
+    D = lay["D"]
+    T, nx = lay["T"], lay["nx"]
 
-    ray_attrs = jnp.dot(E, rd[:, : 6 + D], precision=_HI)  # one pick for o/d/vc
-    o = ray_attrs[:, 0:3]
-    dvec = ray_attrs[:, 3:6]
-    ez = jnp.dot(E, rd[:, 6 + D : 6 + D + S], precision=_HI)
-    z_row = jnp.sum(ez * F, axis=-1, keepdims=True)
-    pts = o + z_row * dvec  # (rows, 3) f32
+    rdr = pltpu.repeat(rd, S, axis=0)           # (rows, 6+D): row -> ray row%R_t
+    zr = pltpu.repeat(z, S, axis=0)             # (rows, S)
+    z_row = jnp.sum(zr * F2, axis=1, keepdims=True)  # z[row%R_t, row//R_t]
+    o = rdr[:, 0:3]
+    dvec = rdr[:, 3:6]
+    pts = o + z_row * dvec                      # (rows, 3) f32
 
-    u = jnp.concatenate([pts, ray_attrs[:, 6 : 6 + D]], axis=1) if has_dir else pts
-    theta = jnp.dot(u, c["scomb"], precision=_HI) + c["offs"]
-    SC = jnp.sin(theta)  # the ONLY transcendental pass
-    enc = jnp.dot(pts, c["p"], precision=_HI) + jnp.dot(SC, c["gx"], precision=_HI)
-    encd = jnp.dot(SC, c["gd"], precision=_HI) if has_dir else None
-    return enc, encd, dvec, SC
+    if T == 0:
+        return pts, None, dvec, None
+
+    theta = jnp.broadcast_to(offs, (pts.shape[0], offs.shape[1]))
+    for c in range(3):
+        theta = theta + pts[:, c : c + 1] * masks[c : c + 1, :]
+    for c in range(D):
+        theta = theta + rdr[:, 6 + c : 7 + c] * masks[3 + c : 4 + c, :]
+    SC = jnp.sin(theta)                         # ONE transcendental pass
+
+    enc = jnp.concatenate([pts, SC[:, : 2 * nx]], axis=1) if nx else pts
+    encd = SC[:, 2 * nx : T] if has_dir else None
+    return enc, encd, dvec, theta
 
 
-def _enc_const_list(config: MLPConfig, consts):
-    names = ["p", "scomb", "offs", "gx", "psw"] + (
-        ["gd"] if config.uses_view_dirs else []
-    )
-    return names, [jnp.asarray(consts[n]) for n in names]
+def _make_forward_rays(config: MLPConfig, cd, n_w, n_b, S, lay):
+    T = lay["T"]
 
-
-def _make_forward_rays(config: MLPConfig, cd, n_w, n_b, S, R_t, names):
     def kernel(*refs):
-        rd_ref, e_ref, f_ref = refs[0], refs[1], refs[2]
+        rd_ref, z_ref, f2_ref = refs[0], refs[1], refs[2]
         w_refs = refs[3 : 3 + n_w]
         b_refs = refs[3 + n_w : 3 + n_w + n_b]
-        c_refs = refs[3 + n_w + n_b : 3 + n_w + n_b + len(names)]
+        masks = refs[3 + n_w + n_b][:] if T else None
+        offs = refs[4 + n_w + n_b][:] if T else None
         out_ref = refs[-1]
 
-        consts = {n: r[:] for n, r in zip(names, c_refs)}
-        enc, encd, _, _ = _encode_rows(config, rd_ref[:], e_ref[:], f_ref[:], consts, S)
+        enc, encd, _, _ = _encode_tile(
+            config, lay, rd_ref[:], z_ref[:], f2_ref[:], masks, offs, S
+        )
         ws = [w[:] for w in w_refs]
         bs = [b[:] for b in b_refs]
         out, _ = _forward_tile(
@@ -763,14 +811,10 @@ def _make_forward_rays(config: MLPConfig, cd, n_w, n_b, S, R_t, names):
     return kernel
 
 
-def _make_backward_rays(config: MLPConfig, cd, n_w, n_b, S, R_t, names):
-    dotT = functools.partial(  # g @ W^T : contract last dims
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=_HI,
-        preferred_element_type=jnp.float32,
-    )
-    dotE = functools.partial(  # E^T @ x : contract rows
+def _make_backward_rays(config: MLPConfig, cd, n_w, n_b, S, lay):
+    has_dir = config.uses_view_dirs
+    T, nx = lay["T"], lay["nx"]
+    dotM = functools.partial(  # M1^T @ x : contract rows, one-hot scatter-back
         jax.lax.dot_general,
         dimension_numbers=(((0,), (0,)), ((), ())),
         precision=_HI,
@@ -778,12 +822,14 @@ def _make_backward_rays(config: MLPConfig, cd, n_w, n_b, S, R_t, names):
     )
 
     def kernel(*refs):
-        rd_ref, e_ref, f_ref = refs[0], refs[1], refs[2]
-        w_refs = refs[3 : 3 + n_w]
-        b_refs = refs[3 + n_w : 3 + n_w + n_b]
-        c_refs = refs[3 + n_w + n_b : 3 + n_w + n_b + len(names)]
-        g_ref = refs[3 + n_w + n_b + len(names)]
-        outs = refs[4 + n_w + n_b + len(names) :]
+        rd_ref, z_ref, f2_ref, m1_ref = refs[0], refs[1], refs[2], refs[3]
+        w_refs = refs[4 : 4 + n_w]
+        b_refs = refs[4 + n_w : 4 + n_w + n_b]
+        k = 4 + n_w + n_b
+        masks = refs[k][:] if T else None
+        offs = refs[k + 1][:] if T else None
+        g_ref = refs[k + (2 if T else 0)]
+        outs = refs[k + (3 if T else 1) :]
         dz_ref = outs[0]
         dw_refs = outs[1 : 1 + n_w]
         db_refs = outs[1 + n_w :]
@@ -793,10 +839,10 @@ def _make_backward_rays(config: MLPConfig, cd, n_w, n_b, S, R_t, names):
             for r in (*dw_refs, *db_refs):
                 r[:] = jnp.zeros_like(r)
 
-        consts = {n: r[:] for n, r in zip(names, c_refs)}
-        E = e_ref[:]
-        F = f_ref[:]
-        enc, encd, dvec, SC = _encode_rows(config, rd_ref[:], E, F, consts, S)
+        F2 = f2_ref[:]
+        enc, encd, dvec, theta = _encode_tile(
+            config, lay, rd_ref[:], z_ref[:], F2, masks, offs, S
+        )
         ws = [w[:] for w in w_refs]
         bs = [b[:] for b in b_refs]
         g_x, g_d = _backward_tile(
@@ -804,114 +850,138 @@ def _make_backward_rays(config: MLPConfig, cd, n_w, n_b, S, R_t, names):
             encd.astype(cd) if encd is not None else None,
             g_ref[:], ws, bs, dw_refs, db_refs,
         )
-        # Encoding VJP — no transcendentals: d(sin theta) = SC @ psw.
-        dSC = dotT(g_x, consts["gx"])
-        if config.uses_view_dirs:
-            dSC = dSC + dotT(g_d, consts["gd"])
-        dtheta = jnp.dot(SC, consts["psw"], precision=_HI) * dSC
-        du = dotT(dtheta, consts["scomb"])
-        dpts = du[:, 0:3] + dotT(g_x, consts["p"])
-        dz_row = jnp.sum(dpts * dvec, axis=-1, keepdims=True)  # (rows, 1)
-        dz_ref[:] = dotE(E, dz_row * F)                         # (R_t, S)
+
+        # Encoding VJP down to dz (the only live input cotangent — it feeds
+        # the fine-sampling CDF). theta already embeds the pi/2 offsets, so
+        # d(all sin/cos columns)/d(theta) is uniformly cos(theta).
+        if T:
+            if nx and has_dir:
+                dSC = jnp.concatenate([g_x[:, 3:], g_d], axis=1)
+            elif nx:
+                dSC = g_x[:, 3:]
+            else:
+                dSC = g_d
+            dtheta = dSC * jnp.cos(theta)
+            dpts = [
+                jnp.sum(dtheta * masks[c : c + 1, :], axis=1, keepdims=True)
+                + g_x[:, c : c + 1]
+                for c in range(3)
+            ]
+        else:
+            dpts = [g_x[:, c : c + 1] for c in range(3)]
+        dz_row = sum(dpts[c] * dvec[:, c : c + 1] for c in range(3))  # (rows, 1)
+        dz_ref[:] = dotM(m1_ref[:], dz_row * F2)  # (R_t, S): row s*R_t+r -> (r, s)
 
     return kernel
-
-
-def _expand_onehots(R_t: int, S: int):
-    import numpy as np
-
-    rows = R_t * S
-    r = np.arange(rows)
-    E = (r[:, None] // S == np.arange(R_t)[None, :]).astype(np.float32)
-    F = (r[:, None] % S == np.arange(S)[None, :]).astype(np.float32)
-    return jnp.asarray(E), jnp.asarray(F)
 
 
 def _pack_ray_data(config: MLPConfig, orig3, dirs3, viewcomps, z, R_t: int):
     parts = [orig3, dirs3]
     if config.uses_view_dirs:
         parts.append(viewcomps)
-    parts.append(z)
     rd = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=1)
-    return _pad_rows(rd, R_t)
+    return _pad_rows(rd, R_t), _pad_rows(z.astype(jnp.float32), R_t)
+
+
+def _untile_rows(out, R_p: int, R_t: int, S: int):
+    """Kernel output (tile-then-sample-major rows, 4) -> ray-major (R_p, S, 4)."""
+    n_tiles = R_p // R_t
+    return out.reshape(n_tiles, S, R_t, 4).swapaxes(1, 2).reshape(R_p, S, 4)
+
+
+def _tile_rows(g, R_p: int, R_t: int, S: int):
+    """Ray-major cotangent (R_p, S, 4) -> the kernel's tiled row layout."""
+    n_tiles = R_p // R_t
+    return g.reshape(n_tiles, R_t, S, 4).swapaxes(1, 2).reshape(R_p * S, 4)
 
 
 def _raymarch_flops(config: MLPConfig, n_rows: int) -> int:
-    # MLP flops dominate; add the encoding matmuls for the scheduler's sake.
-    extra = 2 * n_rows * 3 * (2 * config.xyz_dim) + (
-        2 * n_rows * (config.n_angles + 1) * config.dir_dim
-        if config.uses_view_dirs
-        else 0
-    )
-    return _mlp_flops(config, n_rows) + extra
+    # MLP flops dominate; add the theta/encode VPU work for the scheduler.
+    lay = _enc_layout(config)
+    return _mlp_flops(config, n_rows) + 2 * n_rows * 6 * max(lay["T"], 1)
 
 
-def _forward_rays_pallas(params, config: MLPConfig, rd, S: int, R_t: int, cd):
-    n_rays_p = rd.shape[0]
+def _const_spec(t):
+    return pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _forward_rays_pallas(params, config: MLPConfig, rd, z, S: int, R_t: int, cd):
+    R_p = rd.shape[0]
     rows = R_t * S
-    E, F = _expand_onehots(R_t, S)
-    ws, bs = _flatten_params(params, config, cd)
-    names, cvals = _enc_const_list(config, _enc_constants(config))
+    lay = _enc_layout(config)
+    F2, _ = _expand_consts(R_t, S, need_m1=False)
+    ws, bs = _flatten_params_rays(params, config, cd)
 
-    inputs = [rd, E, F, *ws, *bs, *cvals]
-    const = lambda t: pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    inputs = [rd, z, F2, *ws, *bs]
     in_specs = [
         pl.BlockSpec((R_t, rd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        const(E),
-        const(F),
-        *[const(t) for t in (*ws, *bs, *cvals)],
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _const_spec(F2),
+        *[_const_spec(t) for t in (*ws, *bs)],
     ]
-    grid = n_rays_p // R_t
+    if lay["T"]:
+        masks, offs = jnp.asarray(lay["masks"]), jnp.asarray(lay["offs"])
+        inputs += [masks, offs]
+        in_specs += [_const_spec(masks), _const_spec(offs)]
+
+    grid = R_p // R_t
     out = pl.pallas_call(
-        _make_forward_rays(config, cd, len(ws), len(bs), S, R_t, names),
+        _make_forward_rays(config, cd, len(ws), len(bs), S, lay),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_rays_p * S, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R_p * S, 4), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=_raymarch_flops(config, n_rays_p * S),
-            bytes_accessed=rd.size * 4 + n_rays_p * S * 16,
-            transcendentals=2 * n_rays_p * S * (config.xyz_dim + config.dir_dim),
+            flops=_raymarch_flops(config, R_p * S),
+            bytes_accessed=(rd.size + z.size) * 4 + R_p * S * 16,
+            transcendentals=R_p * S * lay["T"],
         ),
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(*inputs)
-    return out  # (n_rays_p * S, 4)
+    return _untile_rows(out, R_p, R_t, S)  # (R_p, S, 4)
 
 
-def _backward_rays_pallas(params, config: MLPConfig, rd, S: int, R_t: int, cd, g):
-    n_rays_p = rd.shape[0]
+def _backward_rays_pallas(params, config: MLPConfig, rd, z, S, R_t, cd, g):
+    """:param g: ray-major cotangent ``(R_p, S, 4)`` f32."""
+    R_p = rd.shape[0]
     rows = R_t * S
-    E, F = _expand_onehots(R_t, S)
-    ws, bs = _flatten_params(params, config, cd)
-    names, cvals = _enc_const_list(config, _enc_constants(config))
+    lay = _enc_layout(config)
+    F2, M1 = _expand_consts(R_t, S, need_m1=True)
+    ws, bs = _flatten_params_rays(params, config, cd)
 
-    inputs = [rd, E, F, *ws, *bs, *cvals, g]
-    const = lambda t: pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    inputs = [rd, z, F2, M1, *ws, *bs]
     in_specs = [
         pl.BlockSpec((R_t, rd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        const(E),
-        const(F),
-        *[const(t) for t in (*ws, *bs, *cvals)],
-        pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _const_spec(F2),
+        _const_spec(M1),
+        *[_const_spec(t) for t in (*ws, *bs)],
     ]
-    out_shapes = [jax.ShapeDtypeStruct((n_rays_p, S), jnp.float32)]
+    if lay["T"]:
+        masks, offs = jnp.asarray(lay["masks"]), jnp.asarray(lay["offs"])
+        inputs += [masks, offs]
+        in_specs += [_const_spec(masks), _const_spec(offs)]
+    inputs.append(_tile_rows(g, R_p, R_t, S))
+    in_specs.append(pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((R_p, S), jnp.float32)]
     out_specs = [pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     for t in (*ws, *bs):
         out_shapes.append(jax.ShapeDtypeStruct(t.shape, jnp.float32))
-        out_specs.append(const(t))
+        out_specs.append(_const_spec(t))
 
-    grid = n_rays_p // R_t
+    grid = R_p // R_t
     outs = pl.pallas_call(
-        _make_backward_rays(config, cd, len(ws), len(bs), S, R_t, names),
+        _make_backward_rays(config, cd, len(ws), len(bs), S, lay),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=3 * _raymarch_flops(config, n_rays_p * S),
-            bytes_accessed=2 * rd.size * 4,
-            transcendentals=4 * n_rays_p * S * (config.xyz_dim + config.dir_dim),
+            flops=3 * _raymarch_flops(config, R_p * S),
+            bytes_accessed=2 * (rd.size + z.size) * 4 + R_p * S * 16,
+            transcendentals=2 * R_p * S * lay["T"],
         ),
         compiler_params=_compiler_params(),
         interpret=_interpret(),
@@ -919,7 +989,7 @@ def _backward_rays_pallas(params, config: MLPConfig, rd, S: int, R_t: int, cd, g
     dz = outs[0]
     dws = outs[1 : 1 + len(ws)]
     dbs = outs[1 + len(ws) :]
-    return dz, _unflatten_grads(dws, dbs, params, config)
+    return dz, _unflatten_grads_rays(dws, dbs, params, config)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6))
@@ -931,18 +1001,17 @@ def _fused_raymarch(params, config: MLPConfig, orig3, dirs3, viewcomps, z, cd):
 def _fused_raymarch_fwd(params, config, orig3, dirs3, viewcomps, z, cd):
     n_rays, S = z.shape
     R_t = _ray_tile(S)
-    rd = _pack_ray_data(config, orig3, dirs3, viewcomps, z, R_t)
-    out = _forward_rays_pallas(params, config, rd, S, R_t, cd)
-    out = out.reshape(rd.shape[0], S, 4)[:n_rays]
-    return out, (params, rd, (n_rays, S, R_t))
+    rd, z_p = _pack_ray_data(config, orig3, dirs3, viewcomps, z, R_t)
+    out = _forward_rays_pallas(params, config, rd, z_p, S, R_t, cd)
+    return out[:n_rays], (params, rd, z_p, (n_rays, S, R_t))
 
 
 def _fused_raymarch_bwd(config, cd, res, g):
-    params, rd, (n_rays, S, R_t) = res
-    n_rays_p = rd.shape[0]
-    g_full = jnp.zeros((n_rays_p * S, 4), jnp.float32)
-    g_full = g_full.at[: n_rays * S].set(g.reshape(n_rays * S, 4).astype(jnp.float32))
-    dz, dparams = _backward_rays_pallas(params, config, rd, S, R_t, cd, g_full)
+    params, rd, z_p, (n_rays, S, R_t) = res
+    R_p = rd.shape[0]
+    g_full = jnp.zeros((R_p, S, 4), jnp.float32)
+    g_full = g_full.at[:n_rays].set(g.astype(jnp.float32))
+    dz, dparams = _backward_rays_pallas(params, config, rd, z_p, S, R_t, cd, g_full)
     dparams = jax.tree.map(lambda p, dp: dp.astype(p.dtype), params, dparams)
     dz = dz[:n_rays]
     zeros3 = jnp.zeros((n_rays, 3), jnp.float32)
@@ -1001,9 +1070,8 @@ def apply_raymarch_fused(
 def _raymarch_fwd_shard(params, config: MLPConfig, orig3, dirs3, vc, z, cd):
     n_rays, S = z.shape
     R_t = _ray_tile(S)
-    rd = _pack_ray_data(config, orig3, dirs3, vc, z, R_t)
-    out = _forward_rays_pallas(params, config, rd, S, R_t, cd)
-    return out.reshape(rd.shape[0], S, 4)[:n_rays]
+    rd, z_p = _pack_ray_data(config, orig3, dirs3, vc, z, R_t)
+    return _forward_rays_pallas(params, config, rd, z_p, S, R_t, cd)[:n_rays]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6, 7, 8))
@@ -1044,12 +1112,10 @@ def _sharded_raymarch_bwd(config, cd, mesh, axis, res, g):
     def body(p, o, d, v, zz, gg):
         n_rays, S = zz.shape
         R_t = _ray_tile(S)
-        rd = _pack_ray_data(config, o, d, v if has_dir else None, zz, R_t)
-        g_full = jnp.zeros((rd.shape[0] * S, 4), jnp.float32)
-        g_full = g_full.at[: n_rays * S].set(
-            gg.reshape(n_rays * S, 4).astype(jnp.float32)
-        )
-        dz, dparams = _backward_rays_pallas(p, config, rd, S, R_t, cd, g_full)
+        rd, z_p = _pack_ray_data(config, o, d, v if has_dir else None, zz, R_t)
+        g_full = jnp.zeros((rd.shape[0], S, 4), jnp.float32)
+        g_full = g_full.at[:n_rays].set(gg.astype(jnp.float32))
+        dz, dparams = _backward_rays_pallas(p, config, rd, z_p, S, R_t, cd, g_full)
         dparams = jax.lax.psum(dparams, axis)
         return dparams, dz[:n_rays]
 
