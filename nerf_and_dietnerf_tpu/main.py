@@ -43,6 +43,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--nan-checks", action="store_true",
         help="enable jax_debug_nans (debug mode; recompiles, slower)",
     )
+    p.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX platform (e.g. cpu for debugging off-TPU); set "
+        "through jax.config because JAX_PLATFORMS can be preempted by "
+        "site configuration",
+    )
     return p
 
 
@@ -50,6 +56,9 @@ def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     if args.distributed:
         jax.distributed.initialize()

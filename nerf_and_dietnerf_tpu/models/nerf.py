@@ -145,6 +145,44 @@ def render_rays(
     return rendering.composite(raw.reshape(n_rays, n_samples, 4), z_values)
 
 
+def render_rays_train(
+    mlp_params: Params,
+    config: NeRFConfig,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    z_values: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Train-path evaluation of one network: ``(rgb, weights)`` only.
+
+    The training objective needs just the composited pixels (MSE,
+    ``src/NeRF.py:151``) and the coarse weights (hierarchical resampling,
+    ``src/NeRF.py:155``) — none of the diagnostic intermediates. On the
+    pallas backend this runs the fully fused ray-march + compositing kernel
+    (``ops/raymarch_pallas.apply_raymarch_composited``), so the raw
+    ``(rays * samples, 4)`` radiance never touches HBM and the compositing
+    VJP runs in-kernel.
+    """
+    if config.backend == "pallas":
+        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+
+        comps = (
+            cameras.view_direction_components(rays_dirs, config.mlp.n_angles)
+            if config.mlp.uses_view_dirs
+            else None
+        )
+        if config.mesh is not None:
+            return raymarch_pallas.apply_raymarch_composited_sharded(
+                mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
+                config.compute_dtype, mesh=config.mesh, axis=config.mesh_axis,
+            )
+        return raymarch_pallas.apply_raymarch_composited(
+            mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
+            config.compute_dtype,
+        )
+    result = render_rays(mlp_params, config, rays_orig, rays_dirs, z_values)
+    return result.rgb, result.weights
+
+
 def render(
     params: Params,
     config: NeRFConfig,
@@ -193,19 +231,23 @@ def training_losses(
     z = sampling.stratified_z_values(
         k_strat, config.near, config.far, (rays_orig.shape[0],), config.n_samples_coarse
     )
-    coarse = render_rays(params["coarse"], config, rays_orig, rays_dirs, z)
-    mse_coarse = jnp.mean(jnp.square(target_rgb - coarse.rgb))
+    rgb_coarse, weights_coarse = render_rays_train(
+        params["coarse"], config, rays_orig, rays_dirs, z
+    )
+    mse_coarse = jnp.mean(jnp.square(target_rgb - rgb_coarse))
     loss = mse_coarse
     metrics = {"psnr_coarse": rendering.psnr_from_mse(mse_coarse)}
 
     if params.get("fine") is not None:
         z_fine = sampling.resample_z_from_weights(
-            k_resample, coarse.weights, z, config.n_samples_fine
+            k_resample, weights_coarse, z, config.n_samples_fine
         )
         if config.stop_fine_z_grad:
             z_fine = jax.lax.stop_gradient(z_fine)
-        fine = render_rays(params["fine"], config, rays_orig, rays_dirs, z_fine)
-        mse_fine = jnp.mean(jnp.square(target_rgb - fine.rgb))
+        rgb_fine, _ = render_rays_train(
+            params["fine"], config, rays_orig, rays_dirs, z_fine
+        )
+        mse_fine = jnp.mean(jnp.square(target_rgb - rgb_fine))
         loss = loss + mse_fine
         metrics["psnr_fine"] = rendering.psnr_from_mse(mse_fine)
 

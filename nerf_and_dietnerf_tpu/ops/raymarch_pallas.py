@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nerf_and_dietnerf_tpu.core.rendering import TERMINAL_DELTA
 from nerf_and_dietnerf_tpu.models.mlp import (
     MLPConfig,
     N_TRUNK_LAYERS,
@@ -322,10 +323,15 @@ def _make_backward(config: MLPConfig, cd, n_w, n_b, has_dir):
     return kernel
 
 
-def _backward_tile(config: MLPConfig, cd, x, d, g, ws, bs, dw_refs, db_refs):
+def _backward_tile(config: MLPConfig, cd, x, d, g, ws, bs, dw_refs, db_refs,
+                   acts=None):
     """Shared backward body: recompute the forward in-tile, accumulate weight
     and bias grads into the VMEM-resident refs, and return the input
     cotangents ``(g_x, g_d)`` as values (``g_d`` is None for xyz-only nets).
+
+    :param acts: optionally the forward activations already computed this
+        tile (the compositing-fused backward needs the forward ``out`` too,
+        so it runs :func:`_forward_tile` itself and passes ``acts`` in).
     """
     alpha = config.leaky_relu_alpha
     xyz = config.xyz_dim
@@ -342,7 +348,8 @@ def _backward_tile(config: MLPConfig, cd, x, d, g, ws, bs, dw_refs, db_refs):
         preferred_element_type=jnp.float32,
     )
 
-    _, acts = _forward_tile(config, cd, x, d, ws, bs)
+    if acts is None:
+        _, acts = _forward_tile(config, cd, x, d, ws, bs)
     grgb = g[:, 0:3]
     gsig = g[:, 3:4]
 
@@ -1155,6 +1162,512 @@ def apply_raymarch_fused_sharded(
     if config.uses_view_dirs and viewcomps is None:
         raise ValueError("this MLP config requires view-direction components")
     return _fused_raymarch_sharded(
+        params, config,
+        rays_orig[:, :3], rays_dirs[:, :3],
+        viewcomps if config.uses_view_dirs else None,
+        z_values.astype(jnp.float32), compute_dtype, mesh, axis,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Fused ray-march + ALPHA-COMPOSITING kernel (the train fast path)            #
+#                                                                             #
+# The rays kernel above still writes the raw (rays * S, 4) radiance to HBM    #
+# and leaves alpha-compositing (core/rendering.composite, reference           #
+# src/UtilsNeuralRadianceField.py:88-115) plus its VJP to XLA — a full f32    #
+# round-trip of the largest tensor in the step and the cumprod scan's VJP     #
+# in glue. Here compositing runs INSIDE the kernel on the sample-major rows:  #
+# outputs shrink to per-ray (R, 3) pixels + (R, S) weights (what the train    #
+# objective and the hierarchical resampler actually consume).                 #
+#                                                                             #
+# Cross-sample ops in the sample-major row layout:                            #
+# - rows -> (R_t, S) "2D" form: one-hot scatter matmul dotM(M1, x_row * F2)   #
+#   at HIGHEST precision (exact: each output element is a sum with exactly    #
+#   one nonzero term);                                                        #
+# - (R_t, S) -> rows: pltpu.repeat + F2 lane-reduce (exact, no matmul);       #
+# - the exclusive transmittance cumprod runs along LANES with a log-step      #
+#   shift-multiply (Hillis-Steele) scan;                                      #
+# - its backward is the affine reverse recurrence                             #
+#       dT_s = gW_s * a_s + dT_{s+1} * (1 - a_s);   da_s = (gW_s - dT_{s+1}) * T_s #
+#   evaluated as an unrolled lane-slice loop — division-free, so rays whose   #
+#   transmittance underflows to exactly 0 (opaque scenes) stay NaN-free       #
+#   (the closed form divides by T_s).                                         #
+# --------------------------------------------------------------------------- #
+
+_dotM = functools.partial(  # M1^T @ x : one-hot scatter rows -> (R_t, ...)
+    jax.lax.dot_general,
+    dimension_numbers=(((0,), (0,)), ((), ())),
+    precision=_HI,
+    preferred_element_type=jnp.float32,
+)
+
+
+def _exclusive_cumprod_lanes(v):
+    """Exclusive prefix product along the lane axis: ``[1, v0, v0*v1, ...]``.
+
+    Log-step shift-multiply scan (S is static); multiplication reassociation
+    vs a serial cumprod is exact for the common all-{0,1} tails and within
+    float rounding otherwise.
+    """
+    R, S = v.shape
+    x = jnp.concatenate([jnp.ones((R, 1), v.dtype), v[:, :-1]], axis=1)
+    k = 1
+    while k < S:
+        x = x * jnp.concatenate([jnp.ones((R, k), v.dtype), x[:, :-k]], axis=1)
+        k *= 2
+    return x
+
+
+def _rows_to_2d(x_row, F2, M1):
+    """Exact one-hot scatter of a (rows, 1) column to (R_t, S)."""
+    return _dotM(M1, x_row * F2)
+
+
+def _2d_to_rows(x2d, F2, S):
+    """Exact gather of (R_t, S) back to sample-major (rows, 1)."""
+    return jnp.sum(pltpu.repeat(x2d, S, axis=0) * F2, axis=1, keepdims=True)
+
+
+def _composite_tile(out, z, F2, M1, S):
+    """In-kernel alpha compositing over one ray tile (all f32, semantics of
+    ``core/rendering.composite`` / reference src/UtilsNeuralRadianceField.py:88-115).
+
+    :param out: ``(rows, 4)`` raw radiance, sample-major rows.
+    :param z: ``(R_t, S)`` sample depths.
+    :return: dict of fwd values + everything the backward reuses.
+    """
+    sigma_row = jnp.maximum(out[:, 3:4], 0.0)
+    c_row = 1.0 / (1.0 + jnp.exp(-out[:, 0:3]))  # sigmoid, rendering.jax_sigmoid
+    delta2d = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1],
+         jnp.full((z.shape[0], 1), TERMINAL_DELTA, jnp.float32)],
+        axis=1,
+    )
+    delta_row = _2d_to_rows(delta2d, F2, S)
+    alpha_row = 1.0 - jnp.exp(-sigma_row * delta_row)
+    alpha2d = _rows_to_2d(alpha_row, F2, M1)
+    T2d = _exclusive_cumprod_lanes(1.0 - alpha2d)
+    w2d = alpha2d * T2d
+    w_row = _2d_to_rows(w2d, F2, S)
+    pixel = _dotM(M1, w_row * c_row)  # (R_t, 3) = sum_s w_s * rgb_s
+    return dict(
+        sigma_row=sigma_row, c_row=c_row, delta_row=delta_row,
+        alpha_row=alpha_row, alpha2d=alpha2d, T2d=T2d, w2d=w2d, w_row=w_row,
+        pixel=pixel,
+    )
+
+
+def _composite_tile_bwd(comp, out, F2, M1, S, g_rgb, g_w):
+    """VJP of :func:`_composite_tile` w.r.t. the raw radiance and z.
+
+    :param g_rgb: ``(R_t, 3)`` pixel cotangent.
+    :param g_w: ``(R_t, S)`` weights cotangent (the coarse pass feeds the
+        hierarchical resampler, so weights carry real gradients).
+    :return: ``(g_rows, dz2d)`` — raw-radiance cotangent (rows, 4) and the
+        compositing contribution to dz (R_t, S).
+    """
+    alpha2d, T2d = comp["alpha2d"], comp["T2d"]
+    R_t = alpha2d.shape[0]
+
+    g_rgb_row = pltpu.repeat(g_rgb, S, axis=0)                   # (rows, 3)
+    gw_pix_row = jnp.sum(comp["c_row"] * g_rgb_row, axis=1, keepdims=True)
+    gW2d = g_w + _rows_to_2d(gw_pix_row, F2, M1)                 # d/dw total
+    dc_row = comp["w_row"] * g_rgb_row
+
+    # Reverse affine recurrence over samples (C = dL/dT_{s+1}).
+    C = jnp.zeros((R_t, 1), jnp.float32)
+    da_cols = [None] * S
+    for s in reversed(range(S)):
+        a_s = alpha2d[:, s : s + 1]
+        gW_s = gW2d[:, s : s + 1]
+        da_cols[s] = (gW_s - C) * T2d[:, s : s + 1]
+        C = gW_s * a_s + C * (1.0 - a_s)
+    da2d = jnp.concatenate(da_cols, axis=1)
+
+    # alpha = 1 - exp(-sigma * delta):  d/dsigma = delta * (1 - alpha),
+    # d/ddelta = sigma * (1 - alpha). The terminal delta is a constant.
+    om2d = 1.0 - alpha2d
+    sigma2d = _rows_to_2d(comp["sigma_row"], F2, M1)
+    ddelta2d = da2d * sigma2d * om2d
+    not_last = (
+        jax.lax.broadcasted_iota(jnp.int32, (R_t, S), 1) < S - 1
+    ).astype(jnp.float32)
+    dd = ddelta2d * not_last
+    dz2d = jnp.concatenate([jnp.zeros((R_t, 1), jnp.float32), dd[:, :-1]], axis=1) - dd
+
+    da_row = _2d_to_rows(da2d, F2, S)
+    g_sig_raw = jnp.where(
+        out[:, 3:4] > 0.0,
+        da_row * comp["delta_row"] * (1.0 - comp["alpha_row"]),
+        0.0,
+    )
+    g_rgb_raw = dc_row * comp["c_row"] * (1.0 - comp["c_row"])  # sigmoid'
+    return jnp.concatenate([g_rgb_raw, g_sig_raw], axis=1), dz2d
+
+
+def _make_forward_rays_comp(config: MLPConfig, cd, n_w, n_b, S, lay):
+    T = lay["T"]
+
+    def kernel(*refs):
+        rd_ref, z_ref, f2_ref, m1_ref = refs[0], refs[1], refs[2], refs[3]
+        w_refs = refs[4 : 4 + n_w]
+        b_refs = refs[4 + n_w : 4 + n_w + n_b]
+        masks = refs[4 + n_w + n_b][:] if T else None
+        offs = refs[5 + n_w + n_b][:] if T else None
+        rgb_ref, w_ref = refs[-2], refs[-1]
+
+        z = z_ref[:]
+        enc, encd, _, _ = _encode_tile(
+            config, lay, rd_ref[:], z, f2_ref[:], masks, offs, S
+        )
+        ws = [w[:] for w in w_refs]
+        bs = [b[:] for b in b_refs]
+        out, _ = _forward_tile(
+            config, cd, enc.astype(cd),
+            encd.astype(cd) if encd is not None else None, ws, bs,
+        )
+        comp = _composite_tile(out, z, f2_ref[:], m1_ref[:], S)
+        rgb_ref[:] = comp["pixel"]
+        w_ref[:] = comp["w2d"]
+
+    return kernel
+
+
+def _make_backward_rays_comp(config: MLPConfig, cd, n_w, n_b, S, lay):
+    has_dir = config.uses_view_dirs
+    T, nx = lay["T"], lay["nx"]
+
+    def kernel(*refs):
+        rd_ref, z_ref, f2_ref, m1_ref = refs[0], refs[1], refs[2], refs[3]
+        w_refs = refs[4 : 4 + n_w]
+        b_refs = refs[4 + n_w : 4 + n_w + n_b]
+        k = 4 + n_w + n_b
+        masks = refs[k][:] if T else None
+        offs = refs[k + 1][:] if T else None
+        k += 2 if T else 0
+        g_rgb_ref, g_w_ref = refs[k], refs[k + 1]
+        outs = refs[k + 2 :]
+        dz_ref = outs[0]
+        dw_refs = outs[1 : 1 + n_w]
+        db_refs = outs[1 + n_w :]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in (*dw_refs, *db_refs):
+                r[:] = jnp.zeros_like(r)
+
+        F2, M1, z = f2_ref[:], m1_ref[:], z_ref[:]
+        enc, encd, dvec, theta = _encode_tile(
+            config, lay, rd_ref[:], z, F2, masks, offs, S
+        )
+        ws = [w[:] for w in w_refs]
+        bs = [b[:] for b in b_refs]
+        enc_cd = enc.astype(cd)
+        encd_cd = encd.astype(cd) if encd is not None else None
+        out, acts = _forward_tile(config, cd, enc_cd, encd_cd, ws, bs)
+
+        comp = _composite_tile(out, z, F2, M1, S)
+        g_rows, dz2d_comp = _composite_tile_bwd(
+            comp, out, F2, M1, S, g_rgb_ref[:], g_w_ref[:]
+        )
+
+        g_x, g_d = _backward_tile(
+            config, cd, enc_cd, encd_cd, g_rows, ws, bs, dw_refs, db_refs,
+            acts=acts,
+        )
+
+        # Encoding VJP down to dz (same as _make_backward_rays).
+        if T:
+            if nx and has_dir:
+                dSC = jnp.concatenate([g_x[:, 3:], g_d], axis=1)
+            elif nx:
+                dSC = g_x[:, 3:]
+            else:
+                dSC = g_d
+            dtheta = dSC * jnp.cos(theta)
+            dpts = [
+                jnp.sum(dtheta * masks[c : c + 1, :], axis=1, keepdims=True)
+                + g_x[:, c : c + 1]
+                for c in range(3)
+            ]
+        else:
+            dpts = [g_x[:, c : c + 1] for c in range(3)]
+        dz_row = sum(dpts[c] * dvec[:, c : c + 1] for c in range(3))
+        dz_ref[:] = dz2d_comp + _dotM(m1_ref[:], dz_row * F2)
+
+    return kernel
+
+
+def _forward_rays_comp_pallas(params, config: MLPConfig, rd, z, S, R_t, cd):
+    R_p = rd.shape[0]
+    lay = _enc_layout(config)
+    F2, M1 = _expand_consts(R_t, S, need_m1=True)
+    ws, bs = _flatten_params_rays(params, config, cd)
+
+    inputs = [rd, z, F2, M1, *ws, *bs]
+    in_specs = [
+        pl.BlockSpec((R_t, rd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _const_spec(F2),
+        _const_spec(M1),
+        *[_const_spec(t) for t in (*ws, *bs)],
+    ]
+    if lay["T"]:
+        masks, offs = jnp.asarray(lay["masks"]), jnp.asarray(lay["offs"])
+        inputs += [masks, offs]
+        in_specs += [_const_spec(masks), _const_spec(offs)]
+
+    grid = R_p // R_t
+    rgb, w = pl.pallas_call(
+        _make_forward_rays_comp(config, cd, len(ws), len(bs), S, lay),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((R_t, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R_p, S), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=_raymarch_flops(config, R_p * S),
+            bytes_accessed=(rd.size + 2 * z.size) * 4 + R_p * 12,
+            transcendentals=R_p * S * (lay["T"] + 2),
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(*inputs)
+    return rgb, w
+
+
+def _backward_rays_comp_pallas(params, config: MLPConfig, rd, z, S, R_t, cd, g_rgb, g_w):
+    R_p = rd.shape[0]
+    lay = _enc_layout(config)
+    F2, M1 = _expand_consts(R_t, S, need_m1=True)
+    ws, bs = _flatten_params_rays(params, config, cd)
+
+    inputs = [rd, z, F2, M1, *ws, *bs]
+    in_specs = [
+        pl.BlockSpec((R_t, rd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _const_spec(F2),
+        _const_spec(M1),
+        *[_const_spec(t) for t in (*ws, *bs)],
+    ]
+    if lay["T"]:
+        masks, offs = jnp.asarray(lay["masks"]), jnp.asarray(lay["offs"])
+        inputs += [masks, offs]
+        in_specs += [_const_spec(masks), _const_spec(offs)]
+    inputs += [g_rgb, g_w]
+    in_specs += [
+        pl.BlockSpec((R_t, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+    out_shapes = [jax.ShapeDtypeStruct((R_p, S), jnp.float32)]
+    out_specs = [pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    for t in (*ws, *bs):
+        out_shapes.append(jax.ShapeDtypeStruct(t.shape, jnp.float32))
+        out_specs.append(_const_spec(t))
+
+    grid = R_p // R_t
+    outs = pl.pallas_call(
+        _make_backward_rays_comp(config, cd, len(ws), len(bs), S, lay),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * _raymarch_flops(config, R_p * S),
+            bytes_accessed=2 * (rd.size + z.size) * 4 + R_p * 12,
+            transcendentals=2 * R_p * S * (lay["T"] + 2),
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(*inputs)
+    dz = outs[0]
+    dws = outs[1 : 1 + len(ws)]
+    dbs = outs[1 + len(ws) :]
+    return dz, _unflatten_grads_rays(dws, dbs, params, config)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6))
+def _fused_raymarch_comp(params, config: MLPConfig, orig3, dirs3, viewcomps, z, cd):
+    return _fused_raymarch_comp_fwd(params, config, orig3, dirs3, viewcomps, z, cd)[0]
+
+
+def _fused_raymarch_comp_fwd(params, config, orig3, dirs3, viewcomps, z, cd):
+    n_rays, S = z.shape
+    R_t = _ray_tile(S)
+    rd, z_p = _pack_ray_data(config, orig3, dirs3, viewcomps, z, R_t)
+    rgb, w = _forward_rays_comp_pallas(params, config, rd, z_p, S, R_t, cd)
+    return (rgb[:n_rays], w[:n_rays]), (params, rd, z_p, (n_rays, S, R_t))
+
+
+def _fused_raymarch_comp_bwd(config, cd, res, g):
+    params, rd, z_p, (n_rays, S, R_t) = res
+    g_rgb, g_w = g
+    R_p = rd.shape[0]
+    g_rgb_full = jnp.zeros((R_p, 3), jnp.float32).at[:n_rays].set(
+        g_rgb.astype(jnp.float32)
+    )
+    g_w_full = jnp.zeros((R_p, S), jnp.float32).at[:n_rays].set(
+        g_w.astype(jnp.float32)
+    )
+    dz, dparams = _backward_rays_comp_pallas(
+        params, config, rd, z_p, S, R_t, cd, g_rgb_full, g_w_full
+    )
+    dparams = jax.tree.map(lambda p, dp: dp.astype(p.dtype), params, dparams)
+    dz = dz[:n_rays]
+    zeros3 = jnp.zeros((n_rays, 3), jnp.float32)
+    dvc = (
+        jnp.zeros((n_rays, config.n_angles + 1), jnp.float32)
+        if config.uses_view_dirs
+        else None
+    )
+    return dparams, zeros3, zeros3, dvc, dz
+
+
+_fused_raymarch_comp.defvjp(
+    lambda params, config, orig3, dirs3, viewcomps, z, cd: _fused_raymarch_comp_fwd(
+        params, config, orig3, dirs3, viewcomps, z, cd
+    ),
+    _fused_raymarch_comp_bwd,
+)
+
+
+def apply_raymarch_composited(
+    params: Params,
+    config: MLPConfig,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    viewcomps: jnp.ndarray | None,
+    z_values: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+):
+    """Fully fused ray-march + alpha-compositing (the train fast path).
+
+    Same inputs as :func:`apply_raymarch_fused`; returns
+    ``(rgb (n_rays, 3), weights (n_rays, S))`` float32 — exactly what the
+    training objective (MSE on pixels) and the hierarchical resampler
+    (coarse weights) consume. Differentiable w.r.t. ``params`` and
+    ``z_values`` (through both the points and the compositing deltas).
+    """
+    if config.uses_view_dirs and viewcomps is None:
+        raise ValueError("this MLP config requires view-direction components")
+    return _fused_raymarch_comp(
+        params, config,
+        rays_orig[:, :3], rays_dirs[:, :3],
+        viewcomps if config.uses_view_dirs else None,
+        z_values.astype(jnp.float32), compute_dtype,
+    )
+
+
+# shard_map wrapper (mesh runs) ---------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 6, 7, 8))
+def _fused_raymarch_comp_sharded(params, config: MLPConfig, orig3, dirs3, vc, z, cd, mesh, axis):
+    return _sharded_raymarch_comp_forward(
+        params, config, orig3, dirs3, vc, z, cd, mesh, axis
+    )
+
+
+def _sharded_raymarch_comp_forward(params, config, orig3, dirs3, vc, z, cd, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    _row_shard(z.shape[0], mesh, axis)
+    has_dir = config.uses_view_dirs
+    row = P(axis)
+
+    def body(p, o, d, v, zz):
+        n_rays, S = zz.shape
+        R_t = _ray_tile(S)
+        rd, z_p = _pack_ray_data(config, o, d, v if has_dir else None, zz, R_t)
+        rgb, w = _forward_rays_comp_pallas(p, config, rd, z_p, S, R_t, cd)
+        return rgb[:n_rays], w[:n_rays]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), row, row, row if has_dir else P(), row),
+        out_specs=(row, row),
+        check_vma=False,
+    )
+    return f(params, orig3, dirs3, vc if has_dir else jnp.zeros((), jnp.float32), z)
+
+
+def _sharded_raymarch_comp_fwd(params, config, orig3, dirs3, vc, z, cd, mesh, axis):
+    out = _sharded_raymarch_comp_forward(
+        params, config, orig3, dirs3, vc, z, cd, mesh, axis
+    )
+    return out, (params, orig3, dirs3, vc, z)
+
+
+def _sharded_raymarch_comp_bwd(config, cd, mesh, axis, res, g):
+    from jax.sharding import PartitionSpec as P
+
+    params, orig3, dirs3, vc, z = res
+    g_rgb, g_w = g
+    has_dir = config.uses_view_dirs
+    row = P(axis)
+
+    def body(p, o, d, v, zz, gr, gw):
+        n_rays, S = zz.shape
+        R_t = _ray_tile(S)
+        rd, z_p = _pack_ray_data(config, o, d, v if has_dir else None, zz, R_t)
+        R_p = rd.shape[0]
+        gr_full = jnp.zeros((R_p, 3), jnp.float32).at[:n_rays].set(
+            gr.astype(jnp.float32)
+        )
+        gw_full = jnp.zeros((R_p, S), jnp.float32).at[:n_rays].set(
+            gw.astype(jnp.float32)
+        )
+        dz, dparams = _backward_rays_comp_pallas(
+            p, config, rd, z_p, S, R_t, cd, gr_full, gw_full
+        )
+        dparams = jax.lax.psum(dparams, axis)
+        return dparams, dz[:n_rays]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), row, row, row if has_dir else P(), row, row, row),
+        out_specs=(P(), row),
+        check_vma=False,
+    )
+    dparams, dz = f(
+        params, orig3, dirs3, vc if has_dir else jnp.zeros((), jnp.float32), z,
+        g_rgb, g_w,
+    )
+    dparams = jax.tree.map(lambda p, dp: dp.astype(p.dtype), params, dparams)
+    dvc = jnp.zeros_like(vc) if has_dir else None
+    return dparams, jnp.zeros_like(orig3), jnp.zeros_like(dirs3), dvc, dz
+
+
+_fused_raymarch_comp_sharded.defvjp(
+    _sharded_raymarch_comp_fwd, _sharded_raymarch_comp_bwd
+)
+
+
+def apply_raymarch_composited_sharded(
+    params: Params,
+    config: MLPConfig,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    viewcomps: jnp.ndarray | None,
+    z_values: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+    *,
+    mesh,
+    axis: str = "data",
+):
+    """Mesh-parallel :func:`apply_raymarch_composited`: rays sharded over
+    ``axis``, params replicated, weight-grad psum over ICI in the backward."""
+    if config.uses_view_dirs and viewcomps is None:
+        raise ValueError("this MLP config requires view-direction components")
+    return _fused_raymarch_comp_sharded(
         params, config,
         rays_orig[:, :3], rays_dirs[:, :3],
         viewcomps if config.uses_view_dirs else None,

@@ -281,3 +281,122 @@ def test_raymarch_fused_sharded_matches_single():
         np.testing.assert_allclose(
             np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
         )
+
+
+# --------------------------------------------------------------------------- #
+# Fused ray-march + compositing kernel (the train fast path)                  #
+# --------------------------------------------------------------------------- #
+
+
+def _xla_composited(cfg, params, orig, dirs, z):
+    from nerf_and_dietnerf_tpu.core import rendering
+
+    raw = _xla_reference(cfg, params, orig, dirs, z)
+    res = rendering.composite(raw, z)
+    return res.rgb, res.weights
+
+
+@pytest.mark.parametrize("cfg", CASES, ids=["view_dirs", "xyz_only"])
+def test_raymarch_composited_matches_xla(cfg):
+    """Fwd (pixels + weights) and grads (params AND z, with cotangents on
+    BOTH outputs — the coarse pass's weights feed the resampler) vs the XLA
+    render_rays + composite pipeline."""
+    from nerf_and_dietnerf_tpu.core import cameras
+
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    n_rays, S = 13, 6
+    orig, dirs, z = _rays(n_rays, S)
+    vc = (
+        cameras.view_direction_components(dirs, cfg.n_angles)
+        if cfg.uses_view_dirs
+        else None
+    )
+
+    rgb_ref, w_ref = _xla_composited(cfg, params, orig, dirs, z)
+    rgb, w = rp.apply_raymarch_composited(params, cfg, orig, dirs, vc, z, jnp.float32)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=3e-4, rtol=3e-4)
+
+    g_rgb = jax.random.normal(jax.random.PRNGKey(5), (n_rays, 3))
+    g_w = jax.random.normal(jax.random.PRNGKey(6), (n_rays, S))
+
+    def xla_loss(p, zz):
+        r, ww = _xla_composited(cfg, p, orig, dirs, zz)
+        return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
+
+    def kern_loss(p, zz):
+        r, ww = rp.apply_raymarch_composited(p, cfg, orig, dirs, vc, zz, jnp.float32)
+        return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
+
+    gr = jax.grad(xla_loss, argnums=(0, 1))(params, z)
+    gn = jax.grad(kern_loss, argnums=(0, 1))(params, z)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gn)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
+
+
+def test_raymarch_composited_opaque_rays_nan_free():
+    """Rays whose transmittance underflows to exactly 0 (huge sigma) must
+    produce finite grads — the backward recurrence is division-free."""
+    cfg = CASES[1]  # xyz-only
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    # Blow up the sigma head so alpha saturates to 1 on early samples.
+    params = jax.tree.map(lambda x: x, params)
+    params["sigma_out"]["bias"] = params["sigma_out"]["bias"] + 1e6
+    n_rays, S = 4, 6
+    orig, dirs, z = _rays(n_rays, S)
+    z = jnp.sort(z, axis=-1)  # monotone depths: T underflows to exactly 0
+
+    def loss(p, zz):
+        r, ww = rp.apply_raymarch_composited(p, cfg, orig, dirs, None, zz, jnp.float32)
+        return jnp.sum(r) + jnp.sum(ww)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, z)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_raymarch_composited_sharded_matches_single():
+    from nerf_and_dietnerf_tpu.core import cameras
+    from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
+
+    cfg = CASES[0]
+    mesh = mesh_lib.make_mesh()
+    n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    n_rays, S = 2 * n_dev, 6
+    orig, dirs, z = _rays(n_rays, S)
+    vc = cameras.view_direction_components(dirs, cfg.n_angles)
+
+    rgb_ref, w_ref = _xla_composited(cfg, params, orig, dirs, z)
+    rgb, w = jax.jit(
+        lambda p, o, d, v, zz: rp.apply_raymarch_composited_sharded(
+            p, cfg, o, d, v, zz, jnp.float32, mesh=mesh, axis=mesh_lib.DATA_AXIS
+        )
+    )(params, orig, dirs, vc, z)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=3e-4, rtol=3e-4)
+
+    g_rgb = jax.random.normal(jax.random.PRNGKey(5), (n_rays, 3))
+    g_w = jax.random.normal(jax.random.PRNGKey(6), (n_rays, S))
+
+    def xla_loss(p, zz):
+        r, ww = _xla_composited(cfg, p, orig, dirs, zz)
+        return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
+
+    def kern_loss(p, zz):
+        r, ww = rp.apply_raymarch_composited_sharded(
+            p, cfg, orig, dirs, vc, zz, jnp.float32, mesh=mesh, axis=mesh_lib.DATA_AXIS
+        )
+        return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
+
+    gr = jax.grad(xla_loss, argnums=(0, 1))(params, z)
+    gn = jax.jit(jax.grad(kern_loss, argnums=(0, 1)))(params, z)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gn)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
