@@ -101,6 +101,7 @@ def render_image_differentiable(
         result, _ = nerf.render(
             params, config, k, o, d,
             n_samples_coarse=diet.cs_samples, n_samples_fine=diet.cs_samples,
+            diagnostics=False,  # only rgb feeds the embedder
         )
         return result.rgb
 

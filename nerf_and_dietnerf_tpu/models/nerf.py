@@ -45,7 +45,15 @@ class NeRFConfig:
     near: float = 2.0
     far: float = 6.0
     compute_dtype: Any = jnp.bfloat16  # fast path; use float32 for parity tests
-    backend: str = "xla"               # "xla" | "pallas" MLP evaluation
+    # MLP evaluation backend:
+    #   "xla"        — plain XLA ops end to end;
+    #   "pallas"     — fully fused Pallas kernel (point-gen + positional
+    #                  encoding + MLP (+ compositing on the train path)
+    #                  in-kernel from per-ray data);
+    #   "pallas_mlp" — Pallas kernel for the MLP only; encoding and
+    #                  compositing stay in XLA (more HBM traffic for the
+    #                  per-sample encodings, but no in-kernel encode cost).
+    backend: str = "xla"
     # Stop gradients through the hierarchical-resampling CDF (the original
     # bmild/nerf behavior). The Sahar-E reference lets gradients flow there
     # (``src/NeRF.py:155`` computes the resampling inside the tape), so the
@@ -73,7 +81,7 @@ def init_params(key, config: NeRFConfig) -> Params:
 
 
 def _mlp_apply(config: NeRFConfig):
-    if config.backend == "pallas":
+    if config.backend in ("pallas", "pallas_mlp"):
         from nerf_and_dietnerf_tpu.ops import raymarch_pallas
 
         if config.mesh is not None:
@@ -191,10 +199,15 @@ def render(
     rays_dirs: jnp.ndarray,
     n_samples_coarse: Optional[int] = None,
     n_samples_fine: Optional[int] = None,
+    diagnostics: bool = True,
 ) -> Tuple[RenderResult, jnp.ndarray]:
     """Render-path evaluation (eval / serving): coarse pass, then a fine pass
     over the merged+sorted sample set.
 
+    :param diagnostics: when False, only ``rgb`` and ``weights`` are computed
+        (``cumprod`` / ``alpha`` / ``sample_rgb`` are None) — on the pallas
+        backend this runs the fully fused ray-march + compositing kernel.
+        Only the ray-value visualization task needs the full diagnostics.
     :return: ``(result, z_values)`` where ``result`` is the fine result when a
         fine network exists, else the coarse result (matches
         ``src/NeRF.py:109-134``).
@@ -206,11 +219,20 @@ def render(
     z = sampling.stratified_z_values(
         k_strat, config.near, config.far, (rays_orig.shape[0],), n_c
     )
-    result = render_rays(params["coarse"], config, rays_orig, rays_dirs, z)
+    if diagnostics:
+        result = render_rays(params["coarse"], config, rays_orig, rays_dirs, z)
+        if params.get("fine") is not None and n_f > 0:
+            z = sampling.merged_fine_z_values(k_resample, result.weights, z, n_f)
+            result = render_rays(params["fine"], config, rays_orig, rays_dirs, z)
+        return result, z
+
+    rgb, weights = render_rays_train(params["coarse"], config, rays_orig, rays_dirs, z)
     if params.get("fine") is not None and n_f > 0:
-        z = sampling.merged_fine_z_values(k_resample, result.weights, z, n_f)
-        result = render_rays(params["fine"], config, rays_orig, rays_dirs, z)
-    return result, z
+        z = sampling.merged_fine_z_values(k_resample, weights, z, n_f)
+        rgb, weights = render_rays_train(
+            params["fine"], config, rays_orig, rays_dirs, z
+        )
+    return RenderResult(rgb, weights, None, None, None), z
 
 
 def training_losses(
@@ -255,9 +277,17 @@ def training_losses(
     return loss, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_samples_coarse", "n_samples_fine"))
-def _render_chunk(params, config, key, orig, dirs, n_samples_coarse, n_samples_fine):
-    result, z = render(params, config, key, orig, dirs, n_samples_coarse, n_samples_fine)
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_samples_coarse", "n_samples_fine", "diagnostics"),
+)
+def _render_chunk(
+    params, config, key, orig, dirs, n_samples_coarse, n_samples_fine, diagnostics
+):
+    result, z = render(
+        params, config, key, orig, dirs, n_samples_coarse, n_samples_fine,
+        diagnostics=diagnostics,
+    )
     return result, z
 
 
@@ -272,6 +302,7 @@ def render_image(
     chunk_size: int = 16384,
     n_samples_coarse: Optional[int] = None,
     n_samples_fine: Optional[int] = None,
+    diagnostics: bool = True,
 ) -> Tuple[RenderResult, jnp.ndarray]:
     """Full-frame render, chunked over rays to bound peak memory.
 
@@ -297,7 +328,7 @@ def render_image(
             params, config, keys[i],
             jax.lax.dynamic_slice_in_dim(orig, i * chunk, chunk),
             jax.lax.dynamic_slice_in_dim(dirs, i * chunk, chunk),
-            n_samples_coarse, n_samples_fine,
+            n_samples_coarse, n_samples_fine, diagnostics,
         )
         for i in range(n_chunks)
     ]
@@ -309,9 +340,14 @@ def render_image(
         RenderResult(
             rgb=merged.rgb.reshape(height, width, 3),
             weights=merged.weights.reshape(height, width, -1),
-            cumprod=merged.cumprod.reshape(height, width, -1),
-            alpha=merged.alpha.reshape(height, width, -1),
-            sample_rgb=merged.sample_rgb.reshape(height, width, merged.sample_rgb.shape[-2], 3),
+            cumprod=None if merged.cumprod is None
+            else merged.cumprod.reshape(height, width, -1),
+            alpha=None if merged.alpha is None
+            else merged.alpha.reshape(height, width, -1),
+            sample_rgb=None if merged.sample_rgb is None
+            else merged.sample_rgb.reshape(
+                height, width, merged.sample_rgb.shape[-2], 3
+            ),
         ),
         z.reshape(height, width, -1),
     )

@@ -35,7 +35,8 @@ def _pad_to_multiple(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
 )
 def _render_rays_jit(params, config, key, orig, dirs, n_samples_coarse, n_samples_fine):
     result, z = nerf.render(
-        params, config, key, orig, dirs, n_samples_coarse, n_samples_fine
+        params, config, key, orig, dirs, n_samples_coarse, n_samples_fine,
+        diagnostics=False,
     )
     return result.rgb, (result.weights * z).sum(axis=-1)
 

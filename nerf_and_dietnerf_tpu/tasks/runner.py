@@ -248,6 +248,7 @@ class Runner:
                 params, self.render_config, jax.random.fold_in(key, i),
                 np.asarray(c2w, np.float32), ds.field_of_view, ds.height, ds.width,
                 chunk_size=self.run.n_rays_in_batch_render,
+                diagnostics=False,  # videos need rgb + depth only
             )
             rgb_frames.append(np.asarray(result.rgb))
             depth = np.asarray(
@@ -329,6 +330,7 @@ class Runner:
                 params, self.render_config, jax.random.PRNGKey(100 + i),
                 c2w, ds.field_of_view, ds.height, ds.width,
                 chunk_size=self.run.n_rays_in_batch_render,
+                diagnostics=False,
             )
             rendered.append(np.asarray(result.rgb))
         plots.save_interpolation_plot(

@@ -256,6 +256,7 @@ class Trainer:
                 ds.height,
                 ds.width,
                 chunk_size=self.run.n_rays_in_batch_render,
+                diagnostics=False,
             )
             out.append(float(rendering.psnr(jnp.asarray(ds.images[idx]), result.rgb)))
         return out[0], out[1]
@@ -273,6 +274,7 @@ class Trainer:
                 self.state.params, self.eval_config, key,
                 ds.camera_poses[idx], ds.field_of_view, ds.height, ds.width,
                 chunk_size=self.run.n_rays_in_batch_render,
+                diagnostics=False,
             )
             renders[name] = (idx, np.asarray(result.rgb))
         return renders

@@ -87,7 +87,7 @@ class RunConfig:
     # TPU-native extensions (no reference analog).
     mesh_data_devices: Optional[int] = None  # None => all local devices
     compute_dtype: str = "bfloat16"          # "float32" for parity runs
-    backend: str = "xla"                     # "xla" | "pallas" MLP evaluation
+    backend: str = "xla"                     # "xla" | "pallas" | "pallas_mlp"
     on_device_epoch: bool = True             # whole-epoch lax.scan when it fits
     stop_fine_z_grad: bool = False           # True = bmild/nerf stop-gradient
     config_name: str = "run"                 # stem of the YAML file

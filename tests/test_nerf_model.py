@@ -122,3 +122,45 @@ def test_render_image_sample_count_overrides():
         chunk_size=8, n_samples_coarse=5, n_samples_fine=6,
     )
     assert z.shape == (4, 4, 11)
+
+
+def test_render_no_diagnostics_matches_full():
+    """diagnostics=False must produce identical rgb/weights/z on both
+    backends (it is the fast path used by videos, epoch evals, and the
+    DietNeRF consistency render)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_and_dietnerf_tpu.models import mlp as m
+    from nerf_and_dietnerf_tpu.models import nerf
+
+    for backend in ("xla", "pallas"):
+        config = nerf.NeRFConfig(
+            mlp=m.MLPConfig(hidden_dim=32, last_hidden_dim=16, n_freq_xyz=2,
+                            n_freq_dir=2, n_angles=2),
+            n_samples_coarse=4, n_samples_fine=4,
+            compute_dtype=jnp.float32, backend=backend,
+        )
+        params = nerf.init_params(jax.random.PRNGKey(0), config)
+        rng = np.random.default_rng(0)
+        orig = jnp.asarray(
+            np.concatenate([rng.normal(size=(8, 3)), np.ones((8, 1))], -1),
+            jnp.float32,
+        )
+        dirs = jnp.asarray(
+            np.concatenate([rng.normal(size=(8, 3)), np.zeros((8, 1))], -1),
+            jnp.float32,
+        )
+        full, z_full = nerf.render(params, config, jax.random.PRNGKey(1), orig, dirs)
+        fast, z_fast = nerf.render(
+            params, config, jax.random.PRNGKey(1), orig, dirs, diagnostics=False
+        )
+        assert fast.cumprod is None and fast.alpha is None and fast.sample_rgb is None
+        np.testing.assert_allclose(np.asarray(z_fast), np.asarray(z_full), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(fast.rgb), np.asarray(full.rgb), atol=2e-4, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.weights), np.asarray(full.weights), atol=2e-4, rtol=2e-4
+        )
