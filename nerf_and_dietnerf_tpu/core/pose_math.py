@@ -342,17 +342,42 @@ def ransac_line_intersection(
     rng = rng or np.random.default_rng(0)
     n = dirs_and_points.shape[0]
 
-    best_count, best_inliers = -1, None
     # Draw all minimal sets up front (vectorized choice without replacement).
     picks = np.argsort(rng.random((num_iter, n)), axis=1)[:, :n_lines]
-    for pick in picks:
-        point = intersect_lines_least_squares(dirs_and_points[pick])
-        d = point_to_lines_distance(point, dirs_and_points)
-        inliers = d < inlier_tol
-        count = int(inliers.sum())
-        if count > best_count:
-            best_count = count
-            best_inliers = np.where(inliers)[0]
+
+    # All minimal-set intersections in one batched sweep via the normal
+    # equations: x = pinv(sum_i P_i) @ (sum_i P_i p_i) with the projectors
+    # P_i = I - d_i d_i^T. For the (6, 3) per-set system this is identical to
+    # np.linalg.lstsq's min-norm solution (pinv(A^T A) A^T = pinv(A)), and
+    # batched pinv stays robust to parallel-line (rank-deficient) draws.
+    dirs = normalize(dirs_and_points[:, 0])
+    pts = dirs_and_points[:, 1]
+    projectors = np.eye(3) - dirs[:, :, None] * dirs[:, None, :]   # (n, 3, 3)
+    proj_pts = (projectors @ pts[..., None])[..., 0]               # (n, 3)
+    A = projectors[picks].sum(axis=1)                              # (iters, 3, 3)
+    b = proj_pts[picks].sum(axis=1)                                # (iters, 3)
+    # Closed-form 3x3 inverse (adjugate/det) for the well-posed draws; the
+    # rare near-parallel (rank-deficient) draws fall back to batched pinv.
+    adj = np.empty_like(A)
+    adj[:, 0] = np.cross(A[:, :, 1], A[:, :, 2], axis=1)
+    adj[:, 1] = np.cross(A[:, :, 2], A[:, :, 0], axis=1)
+    adj[:, 2] = np.cross(A[:, :, 0], A[:, :, 1], axis=1)
+    det = np.einsum("ij,ij->i", A[:, :, 0], adj[:, 0])
+    ok = np.abs(det) > 1e-9
+    points = np.empty((A.shape[0], 3), A.dtype)
+    points[ok] = (
+        np.einsum("nij,nj->ni", adj[ok], b[ok]) / det[ok, None]
+    )
+    if not ok.all():
+        points[~ok] = (np.linalg.pinv(A[~ok]) @ b[~ok, :, None])[..., 0]
+
+    # Squared projector-form distance of every candidate to every line.
+    diff = pts[None, :, :] - points[:, None, :]                    # (iters, n, 3)
+    d2 = np.einsum("inj,njk,ink->in", diff, projectors, diff)
+    counts = (d2 < inlier_tol).sum(axis=1)
+    best = int(np.argmax(counts))  # first maximum == the sequential loop's pick
+    best_count = int(counts[best])
+    best_inliers = np.where(d2[best] < inlier_tol)[0]
     if best_count > 1:
         point = intersect_lines_least_squares(dirs_and_points[best_inliers])
         d = point_to_lines_distance(point, dirs_and_points)

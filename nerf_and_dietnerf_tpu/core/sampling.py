@@ -29,7 +29,9 @@ DENOM_CLAMP = 1e-5   # cdf-range denominator clamp (reference src/UtilsCV.py:533
 def stratified_z_values(key, near, far, batch_shape, n_samples: int) -> jnp.ndarray:
     """Stratified z samples: even grid plus up-to-one-bin uniform jitter.
 
-    :param key: PRNG key.
+    :param key: PRNG key, or ``None`` for the deterministic golden-parity
+        mode: fixed mid-bin offsets (RNG-free renders reproduce exactly, so
+        conventions can be locked by ``allclose`` against committed tensors).
     :param near: near frustum boundary (scalar).
     :param far: far frustum boundary (scalar).
     :param batch_shape: leading shape tuple, e.g. ``(n_rays,)`` or ``(h, w)``.
@@ -41,6 +43,11 @@ def stratified_z_values(key, near, far, batch_shape, n_samples: int) -> jnp.ndar
     near = jnp.asarray(near, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
     base = jnp.linspace(near, far, n_samples)
+    if key is None:  # deterministic mode: fixed mid-bin offsets, no RNG
+        return jnp.broadcast_to(
+            base + 0.5 * (far - near) / n_samples,
+            (*tuple(batch_shape), n_samples),
+        )
     jitter = jax.random.uniform(key, (*tuple(batch_shape), n_samples)) * (
         (far - near) / n_samples
     )
@@ -54,7 +61,13 @@ def sorted_uniforms(key, batch_shape, n: int) -> jnp.ndarray:
     ``n + 1`` Exp(1) draws are distributed exactly as the sorted values of
     ``n`` iid U(0,1) draws. O(n) and sort-free — a TPU row-sort of the
     resampled z was a measured hotspot (~28 ms/step at 4096x128 on v5e).
+
+    ``key=None`` selects the deterministic golden-parity mode: evenly spaced
+    quantiles ``(i + 0.5) / n`` (still sorted, RNG-free).
     """
+    if key is None:  # deterministic mode: evenly spaced quantiles (i+0.5)/n
+        u = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+        return jnp.broadcast_to(u, (*tuple(batch_shape), n))
     e = jax.random.exponential(key, (*tuple(batch_shape), n + 1))
     return jnp.cumsum(e[..., :-1], axis=-1) / jnp.sum(e, axis=-1, keepdims=True)
 

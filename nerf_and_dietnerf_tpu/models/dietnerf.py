@@ -257,3 +257,111 @@ def consistency_steps_budget(
     (reference ``src/ExecutionRun.py:245-247``)."""
     total = n_batches_per_epoch * (n_epochs - start_epoch)
     return int(total * diet.active_fraction)
+
+
+def make_diet_epoch_fn(
+    config: NeRFConfig,
+    diet: DietConfig,
+    optimizer,
+    field_of_view: float,
+    n_batches: int,
+    batch_size: int,
+    budget: int,
+    mesh=None,
+):
+    """One **entire DietNeRF epoch** as a single jitted program.
+
+    The per-step host dispatch of the two-executable design costs ~3 ms per
+    step on a tunneled chip — paid on *every* step, not just the every-13th
+    diet step. Here the whole epoch runs as one ``lax.scan`` whose body picks
+    the diet branch with ``lax.cond`` on the on-device step counter
+    (reference gating ``src/DietNeRF.py:224-236``: active when
+    ``counter % interval == 0`` and ``counter < budget``). XLA executes only
+    the taken branch per iteration, so the 12-of-13 plain steps run at plain
+    NeRF speed.
+
+    Returned callable::
+
+        epoch_fn(state, key, origins, dirs, rgb, c2ws, targets, vit_params)
+            -> (state, mean_metrics)
+
+    with ``c2ws (n_batches, 4, 4)`` / ``targets (n_batches, emb_dim)`` —
+    host-presampled novel poses + target embeddings, consumed only at the
+    diet positions (zeros elsewhere are fine).
+    """
+    import optax
+
+    from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
+    from nerf_and_dietnerf_tpu.train.train_step import TrainState
+
+    interval = diet.interval
+
+    def epoch_fn(state, key, origins, dirs, rgb, c2ws, targets, vit_params):
+        k_perm, k_steps = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, origins.shape[0])
+        keys = jax.random.split(k_steps, n_batches)
+
+        def body(state, xs):
+            i, k, c2w, target = xs
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
+            batch = (origins[idx], dirs[idx], rgb[idx])
+            if mesh is not None:
+                sharding = mesh_lib.batch_sharding(mesh)
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(b, sharding) for b in batch
+                )
+            orig_b, dirs_b, rgb_b = batch
+            counter = state.step + 1  # reference increments first (:129)
+            use_cs = jnp.logical_and(counter % interval == 0, counter < budget)
+
+            def loss_fn(params, with_cs):
+                # Key semantics match the two-executable dispatch path
+                # exactly: the plain step consumes the step key unsplit
+                # (train_step.train_step); only the diet step splits it
+                # (make_diet_train_step).
+                k_rays, k_cs = jax.random.split(k) if with_cs else (k, k)
+                ray_loss, metrics = nerf.training_losses(
+                    params, config, k_rays, orig_b, dirs_b, rgb_b
+                )
+                metrics = dict(metrics)
+                metrics["loss_for_rays"] = ray_loss
+                if with_cs:
+                    cs_loss, _ = consistency_loss(
+                        params, vit_params, config, diet, k_cs, c2w,
+                        field_of_view, target,
+                    )
+                else:
+                    cs_loss = jnp.float32(0.0)
+                metrics["cosine_similarity_loss"] = cs_loss
+                metrics["loss"] = ray_loss + cs_loss
+                return ray_loss + cs_loss, metrics
+
+            def run(with_cs, st):
+                (_, metrics), grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, with_cs), has_aux=True
+                )(st.params)
+                updates, opt_state = optimizer.update(grads, st.opt_state, st.params)
+                params = optax.apply_updates(st.params, updates)
+                return TrainState(params, opt_state, st.step + 1), metrics
+
+            return jax.lax.cond(
+                use_cs,
+                functools.partial(run, True),
+                functools.partial(run, False),
+                state,
+            )
+
+        state, metrics = jax.lax.scan(
+            body, state, (jnp.arange(n_batches), keys, c2ws, targets)
+        )
+        return state, jax.tree.map(lambda x: jnp.mean(x), metrics)
+
+    if mesh is None:
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+    repl = mesh_lib.replicated(mesh)
+    return jax.jit(
+        epoch_fn,
+        in_shardings=(repl,) * 8,
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

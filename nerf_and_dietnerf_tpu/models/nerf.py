@@ -47,12 +47,20 @@ class NeRFConfig:
     compute_dtype: Any = jnp.bfloat16  # fast path; use float32 for parity tests
     # MLP evaluation backend:
     #   "xla"        — plain XLA ops end to end;
-    #   "pallas"     — fully fused Pallas kernel (point-gen + positional
+    #   "pallas"     — production fast path: positional encoding in XLA
+    #                  (cheap on packed shapes), fused Pallas kernel for the
+    #                  MLP, and (with ``fuse_compositing``) alpha-compositing
+    #                  inside the kernel on the train path. Measured fastest
+    #                  on v5e: the in-kernel encode of "pallas_rm" costs more
+    #                  VPU time (sin + theta FMAs on 128-lane-padded tiles,
+    #                  recomputed in bwd) than the HBM traffic it saves
+    #                  (tools/exp_enc2.py decomposition).
+    #   "pallas_mlp" — alias of "pallas" kept for config back-compat.
+    #   "pallas_rm"  — fully fused ray-march kernel (point-gen + positional
     #                  encoding + MLP (+ compositing on the train path)
-    #                  in-kernel from per-ray data);
-    #   "pallas_mlp" — Pallas kernel for the MLP only; encoding and
-    #                  compositing stay in XLA (more HBM traffic for the
-    #                  per-sample encodings, but no in-kernel encode cost).
+    #                  in-kernel from per-ray data); minimal HBM traffic,
+    #                  best when HBM bandwidth (not VPU) is the binding
+    #                  constraint.
     backend: str = "xla"
     # Stop gradients through the hierarchical-resampling CDF (the original
     # bmild/nerf behavior). The Sahar-E reference lets gradients flow there
@@ -61,6 +69,17 @@ class NeRFConfig:
     # one-hot-einsum resampling VJP (no scatters) the flowing-gradient path
     # costs only ~7% (33.2 vs 30.9 ms/step measured on v5e).
     stop_fine_z_grad: bool = False
+    # Train fast path: run alpha-compositing inside the Pallas kernel
+    # (``apply_mlp_composited`` for "pallas", ``apply_raymarch_composited``
+    # for "pallas_rm") instead of XLA compositing on the raw
+    # (rays*samples, 4) radiance. Consulted by the pallas backends only.
+    # Default False: measured on v5e, the in-kernel compositing's
+    # row<->(rays, samples) layout conversions (one-hot matmuls + lane
+    # reductions on 128-lane-padded row tiles) cost more than the XLA
+    # composite they replace (38.7 vs 28.4 ms/step at the flagship shape) —
+    # XLA runs the same math on packed logical shapes. Kept for research:
+    # value/grad parity is tested either way (tests/test_pallas_kernel.py).
+    fuse_compositing: bool = False
     # Device mesh for the fused-kernel path. pallas_call has no GSPMD
     # partitioning rule, so on a mesh the kernel must be shard_mapped over
     # the data axis (``ops/raymarch_pallas.apply_mlp_fused_sharded``); the
@@ -81,7 +100,7 @@ def init_params(key, config: NeRFConfig) -> Params:
 
 
 def _mlp_apply(config: NeRFConfig):
-    if config.backend in ("pallas", "pallas_mlp"):
+    if config.backend in ("pallas", "pallas_mlp", "pallas_rm"):
         from nerf_and_dietnerf_tpu.ops import raymarch_pallas
 
         if config.mesh is not None:
@@ -113,7 +132,7 @@ def render_rays(
     """
     n_rays, n_samples = z_values.shape
 
-    if config.backend == "pallas":
+    if config.backend == "pallas_rm":
         # Fully fused path: point-gen + positional encoding happen inside the
         # kernel from per-ray data (~4 MB/step vs ~805 MB of lane-padded
         # per-sample encodings), see ops/raymarch_pallas.apply_raymarch_fused.
@@ -170,7 +189,7 @@ def render_rays_train(
     ``(rays * samples, 4)`` radiance never touches HBM and the compositing
     VJP runs in-kernel.
     """
-    if config.backend == "pallas":
+    if config.backend == "pallas_rm" and config.fuse_compositing:
         from nerf_and_dietnerf_tpu.ops import raymarch_pallas
 
         comps = (
@@ -185,6 +204,29 @@ def render_rays_train(
             )
         return raymarch_pallas.apply_raymarch_composited(
             mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
+            config.compute_dtype,
+        )
+    if config.backend in ("pallas", "pallas_mlp") and config.fuse_compositing:
+        # Production fast path: XLA computes the packed encodings (per-sample
+        # xyz in ray-major row order; view-dirs PER-RAY — never broadcast to
+        # samples in HBM), the kernel fuses MLP + compositing + their VJPs.
+        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+
+        points = cameras.sample_points_along_rays(rays_orig, rays_dirs, z_values)
+        enc_xyz = encoding.encode_xyz(
+            points[..., :3].reshape(-1, 3), config.mlp.n_freq_xyz
+        )
+        enc_dir = None
+        if config.mlp.uses_view_dirs:
+            comps = cameras.view_direction_components(rays_dirs, config.mlp.n_angles)
+            enc_dir = encoding.encode_view_dirs(comps, config.mlp.n_freq_dir)
+        if config.mesh is not None:
+            return raymarch_pallas.apply_mlp_composited_sharded(
+                mlp_params, config.mlp, enc_xyz, enc_dir, z_values,
+                config.compute_dtype, mesh=config.mesh, axis=config.mesh_axis,
+            )
+        return raymarch_pallas.apply_mlp_composited(
+            mlp_params, config.mlp, enc_xyz, enc_dir, z_values,
             config.compute_dtype,
         )
     result = render_rays(mlp_params, config, rays_orig, rays_dirs, z_values)
@@ -214,7 +256,11 @@ def render(
     """
     n_c = n_samples_coarse or config.n_samples_coarse
     n_f = n_samples_fine or config.n_samples_fine
-    k_strat, k_resample = jax.random.split(key)
+    # key=None => deterministic golden-parity mode (RNG-free: mid-bin
+    # stratification + even resampling quantiles, core/sampling.py).
+    k_strat, k_resample = (
+        (None, None) if key is None else jax.random.split(key)
+    )
 
     z = sampling.stratified_z_values(
         k_strat, config.near, config.far, (rays_orig.shape[0],), n_c
@@ -322,7 +368,7 @@ def render_image(
         orig = jnp.concatenate([orig, jnp.broadcast_to(orig[-1:], (pad, 4))], axis=0)
         dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 4))], axis=0)
 
-    keys = jax.random.split(key, n_chunks)
+    keys = [None] * n_chunks if key is None else jax.random.split(key, n_chunks)
     parts = [
         _render_chunk(
             params, config, keys[i],

@@ -40,6 +40,7 @@ class ViTConfig:
     n_layers: int = 12
     n_heads: int = 12
     mlp_dim: int = 3072
+    ln_eps: float = 1e-6  # HF ViTConfig defaults to 1e-12; google JAX ViT 1e-6
 
     @property
     def n_patches(self) -> int:
@@ -139,13 +140,18 @@ def extract_features(
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, h))
     x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
 
+    eps = config.ln_eps
     for block in params["blocks"]:
-        x = x + _attention(block, _layer_norm(block["ln1"], x), config, compute_dtype)
-        y = _layer_norm(block["ln2"], x)
-        y = jax.nn.gelu(_dense(block["mlp1"], y, compute_dtype))
+        x = x + _attention(
+            block, _layer_norm(block["ln1"], x, eps), config, compute_dtype
+        )
+        y = _layer_norm(block["ln2"], x, eps)
+        # Exact (erf) GELU — what HF's "gelu" and the TF-Hub ViT use; the
+        # tanh approximation drifts ~1e-3 per block.
+        y = jax.nn.gelu(_dense(block["mlp1"], y, compute_dtype), approximate=False)
         x = x + _dense(block["mlp2"], y, compute_dtype)
 
-    x = _layer_norm(params["final_ln"], x)
+    x = _layer_norm(params["final_ln"], x, eps)
     return x[:, 0].astype(jnp.float32)
 
 

@@ -1218,8 +1218,26 @@ def _exclusive_cumprod_lanes(v):
     return x
 
 
+def _suffix_affine_scan(M, U):
+    """Log-step suffix scan of the affine recurrence ``C_s = U_s + M_s * C_{s+1}``
+    (``C_S = 0``): returns the array whose column ``s`` is ``C_s``.
+
+    The affine maps compose associatively — ``(m1, u1) ∘ (m2, u2) =
+    (m1 * m2, u1 + m1 * u2)`` — so the suffix composition runs in ``log2(S)``
+    full-width (R, S) VPU passes instead of ``S`` serial (R, 1) column ops
+    (each of which occupies a whole 128-lane vreg)."""
+    R, S = M.shape
+    k = 1
+    while k < S:
+        U = U + M * jnp.concatenate([U[:, k:], jnp.zeros((R, k), U.dtype)], axis=1)
+        M = M * jnp.concatenate([M[:, k:], jnp.ones((R, k), M.dtype)], axis=1)
+        k *= 2
+    return U
+
+
 def _rows_to_2d(x_row, F2, M1):
-    """Exact one-hot scatter of a (rows, 1) column to (R_t, S)."""
+    """Exact one-hot scatter of a (rows, 1) column to (R_t, S) — works for
+    both row layouts (the layout lives in the F2/M1 contents)."""
     return _dotM(M1, x_row * F2)
 
 
@@ -1228,14 +1246,34 @@ def _2d_to_rows(x2d, F2, S):
     return jnp.sum(pltpu.repeat(x2d, S, axis=0) * F2, axis=1, keepdims=True)
 
 
-def _composite_tile(out, z, F2, M1, S):
+def _ray_expand_rm(M1, x_ray):
+    """Ray-major broadcast of per-ray values ``(R_t, k)`` to ``(rows, k)``
+    via the exact one-hot gather matmul (rows are ray-major: row // S = ray,
+    so ``pltpu.repeat`` — whole-block tiling — does not apply)."""
+    return jax.lax.dot_general(
+        M1, x_ray,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_HI,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _composite_tile(out, z, F2, M1, S, ray_major=False):
     """In-kernel alpha compositing over one ray tile (all f32, semantics of
     ``core/rendering.composite`` / reference src/UtilsNeuralRadianceField.py:88-115).
 
-    :param out: ``(rows, 4)`` raw radiance, sample-major rows.
+    :param out: ``(rows, 4)`` raw radiance. Row layout: sample-major
+        (``row % R_t = ray``) by default, ray-major (``row // S = ray``) when
+        ``ray_major`` — F2/M1 must be built for the same layout.
     :param z: ``(R_t, S)`` sample depths.
     :return: dict of fwd values + everything the backward reuses.
     """
+    if ray_major:
+        g2r = lambda x2d: jnp.sum(
+            _ray_expand_rm(M1, x2d) * F2, axis=1, keepdims=True
+        )
+    else:
+        g2r = lambda x2d: _2d_to_rows(x2d, F2, S)
     sigma_row = jnp.maximum(out[:, 3:4], 0.0)
     c_row = 1.0 / (1.0 + jnp.exp(-out[:, 0:3]))  # sigmoid, rendering.jax_sigmoid
     delta2d = jnp.concatenate(
@@ -1243,12 +1281,12 @@ def _composite_tile(out, z, F2, M1, S):
          jnp.full((z.shape[0], 1), TERMINAL_DELTA, jnp.float32)],
         axis=1,
     )
-    delta_row = _2d_to_rows(delta2d, F2, S)
+    delta_row = g2r(delta2d)
     alpha_row = 1.0 - jnp.exp(-sigma_row * delta_row)
     alpha2d = _rows_to_2d(alpha_row, F2, M1)
     T2d = _exclusive_cumprod_lanes(1.0 - alpha2d)
     w2d = alpha2d * T2d
-    w_row = _2d_to_rows(w2d, F2, S)
+    w_row = g2r(w2d)
     pixel = _dotM(M1, w_row * c_row)  # (R_t, 3) = sum_s w_s * rgb_s
     return dict(
         sigma_row=sigma_row, c_row=c_row, delta_row=delta_row,
@@ -1257,7 +1295,7 @@ def _composite_tile(out, z, F2, M1, S):
     )
 
 
-def _composite_tile_bwd(comp, out, F2, M1, S, g_rgb, g_w):
+def _composite_tile_bwd(comp, out, F2, M1, S, g_rgb, g_w, ray_major=False):
     """VJP of :func:`_composite_tile` w.r.t. the raw radiance and z.
 
     :param g_rgb: ``(R_t, 3)`` pixel cotangent.
@@ -1268,21 +1306,25 @@ def _composite_tile_bwd(comp, out, F2, M1, S, g_rgb, g_w):
     """
     alpha2d, T2d = comp["alpha2d"], comp["T2d"]
     R_t = alpha2d.shape[0]
+    if ray_major:
+        rep = lambda x_ray: _ray_expand_rm(M1, x_ray)
+        g2r = lambda x2d: jnp.sum(rep(x2d) * F2, axis=1, keepdims=True)
+    else:
+        rep = lambda x_ray: pltpu.repeat(x_ray, S, axis=0)
+        g2r = lambda x2d: _2d_to_rows(x2d, F2, S)
 
-    g_rgb_row = pltpu.repeat(g_rgb, S, axis=0)                   # (rows, 3)
+    g_rgb_row = rep(g_rgb)                                       # (rows, 3)
     gw_pix_row = jnp.sum(comp["c_row"] * g_rgb_row, axis=1, keepdims=True)
     gW2d = g_w + _rows_to_2d(gw_pix_row, F2, M1)                 # d/dw total
     dc_row = comp["w_row"] * g_rgb_row
 
-    # Reverse affine recurrence over samples (C = dL/dT_{s+1}).
-    C = jnp.zeros((R_t, 1), jnp.float32)
-    da_cols = [None] * S
-    for s in reversed(range(S)):
-        a_s = alpha2d[:, s : s + 1]
-        gW_s = gW2d[:, s : s + 1]
-        da_cols[s] = (gW_s - C) * T2d[:, s : s + 1]
-        C = gW_s * a_s + C * (1.0 - a_s)
-    da2d = jnp.concatenate(da_cols, axis=1)
+    # Reverse affine recurrence over samples (C_s = dL/dT_{s+1} chain),
+    # parallelized as a log-step suffix scan instead of S serial column ops.
+    U = _suffix_affine_scan(1.0 - alpha2d, gW2d * alpha2d)  # U[:, s] = C_s
+    C_next = jnp.concatenate(
+        [U[:, 1:], jnp.zeros((R_t, 1), jnp.float32)], axis=1
+    )
+    da2d = (gW2d - C_next) * T2d
 
     # alpha = 1 - exp(-sigma * delta):  d/dsigma = delta * (1 - alpha),
     # d/ddelta = sigma * (1 - alpha). The terminal delta is a constant.
@@ -1295,7 +1337,7 @@ def _composite_tile_bwd(comp, out, F2, M1, S, g_rgb, g_w):
     dd = ddelta2d * not_last
     dz2d = jnp.concatenate([jnp.zeros((R_t, 1), jnp.float32), dd[:, :-1]], axis=1) - dd
 
-    da_row = _2d_to_rows(da2d, F2, S)
+    da_row = g2r(da2d)
     g_sig_raw = jnp.where(
         out[:, 3:4] > 0.0,
         da_row * comp["delta_row"] * (1.0 - comp["alpha_row"]),
@@ -1553,6 +1595,14 @@ def apply_raymarch_composited(
     training objective (MSE on pixels) and the hierarchical resampler
     (coarse weights) consume. Differentiable w.r.t. ``params`` and
     ``z_values`` (through both the points and the compositing deltas).
+
+    .. warning:: Cotangents for ``rays_orig`` / ``rays_dirs`` / ``viewcomps``
+        are structurally ZERO (the XLA backend propagates real gradients
+        there). Training only differentiates params and z, so this is exact
+        for the train path — but do NOT use this op for pose optimization or
+        anything else that differentiates w.r.t. the rays; use the "xla" or
+        "pallas" (``apply_mlp_composited``) backends, whose ray gradients
+        flow through the XLA encoding VJP.
     """
     if config.uses_view_dirs and viewcomps is None:
         raise ValueError("this MLP config requires view-direction components")
@@ -1671,5 +1721,443 @@ def apply_raymarch_composited_sharded(
         params, config,
         rays_orig[:, :3], rays_dirs[:, :3],
         viewcomps if config.uses_view_dirs else None,
+        z_values.astype(jnp.float32), compute_dtype, mesh, axis,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Fused MLP + compositing kernel over XLA-computed encodings (ray-major rows) #
+#                                                                             #
+# The production train fast path (backend="pallas", fuse_compositing=True).   #
+# Measured on v5e (tools/exp_enc2.py): computing the positional encoding      #
+# inside the kernel costs more VPU time (the sin pass + theta broadcast-FMAs  #
+# run on 128-lane-padded tiles, and the backward recomputes them) than the    #
+# HBM traffic it saves — XLA evaluates the same encoding on packed logical    #
+# shapes for a fraction of the cost. So: encodings stay in XLA, while the     #
+# MLP *and* the alpha-compositing (+ its VJP) run fused in one kernel — the   #
+# raw (rays*samples, 4) radiance and its cotangent never touch HBM.          #
+#                                                                             #
+# Row layout here is RAY-major (row // S = ray): it matches the natural      #
+# reshape of XLA's (rays, samples, feat) encoding arrays, so no relayout      #
+# happens outside the kernel. In-kernel (rows,·)<->(R_t,S) layout changes go  #
+# through exact one-hot matmuls (MXU, ~2% of tile flops).                     #
+# --------------------------------------------------------------------------- #
+
+
+def _expand_consts_rm(R_t: int, S: int):
+    """Ray-major one-hots: F2[row, s] = (row % S == s); M1[row, r] = (row // S == r)."""
+    import numpy as np
+
+    rows = R_t * S
+    r = np.arange(rows)
+    F2 = (r[:, None] % S == np.arange(S)[None, :]).astype(np.float32)
+    M1 = (r[:, None] // S == np.arange(R_t)[None, :]).astype(np.float32)
+    return jnp.asarray(F2), jnp.asarray(M1)
+
+
+_dotA_HI = functools.partial(  # M1^T @ x : contract rows, exact f32
+    jax.lax.dot_general,
+    dimension_numbers=(((0,), (0,)), ((), ())),
+    precision=_HI,
+    preferred_element_type=jnp.float32,
+)
+
+
+def _make_forward_mlp_comp(config: MLPConfig, cd, n_w, n_b, S, has_dir):
+    def kernel(*refs):
+        x_ref, z_ref, f2_ref, m1_ref = refs[0], refs[1], refs[2], refs[3]
+        idx = 4
+        d_ref = None
+        if has_dir:
+            d_ref = refs[idx]
+            idx += 1
+        w_refs = refs[idx : idx + n_w]
+        b_refs = refs[idx + n_w : idx + n_w + n_b]
+        rgb_ref, w_ref = refs[-2], refs[-1]
+
+        x = x_ref[:].astype(cd)
+        d = None
+        if has_dir:
+            # Per-ray view-dir encodings expanded to rows in-VMEM (exact
+            # one-hot gather) — the (rows, dir_dim) broadcast never hits HBM.
+            d = _ray_expand_rm(m1_ref[:], d_ref[:].astype(jnp.float32)).astype(cd)
+        ws = [w[:] for w in w_refs]
+        bs = [b[:] for b in b_refs]
+        out, _ = _forward_tile(config, cd, x, d, ws, bs)
+        comp = _composite_tile(
+            out, z_ref[:], f2_ref[:], m1_ref[:], S, ray_major=True
+        )
+        rgb_ref[:] = comp["pixel"]
+        w_ref[:] = comp["w2d"]
+
+    return kernel
+
+
+def _make_backward_mlp_comp(config: MLPConfig, cd, n_w, n_b, S, has_dir):
+    def kernel(*refs):
+        x_ref, z_ref, f2_ref, m1_ref = refs[0], refs[1], refs[2], refs[3]
+        idx = 4
+        d_ref = None
+        if has_dir:
+            d_ref = refs[idx]
+            idx += 1
+        w_refs = refs[idx : idx + n_w]
+        b_refs = refs[idx + n_w : idx + n_w + n_b]
+        g_rgb_ref = refs[idx + n_w + n_b]
+        g_w_ref = refs[idx + n_w + n_b + 1]
+        outs = refs[idx + n_w + n_b + 2 :]
+        denc_ref = outs[0]
+        k = 1
+        dencd_ref = None
+        if has_dir:
+            dencd_ref = outs[k]
+            k += 1
+        dz_ref = outs[k]
+        dw_refs = outs[k + 1 : k + 1 + n_w]
+        db_refs = outs[k + 1 + n_w :]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in (*dw_refs, *db_refs):
+                r[:] = jnp.zeros_like(r)
+
+        F2, M1, z = f2_ref[:], m1_ref[:], z_ref[:]
+        x = x_ref[:].astype(cd)
+        d = None
+        if has_dir:
+            d = _ray_expand_rm(M1, d_ref[:].astype(jnp.float32)).astype(cd)
+        ws = [w[:] for w in w_refs]
+        bs = [b[:] for b in b_refs]
+        out, acts = _forward_tile(config, cd, x, d, ws, bs)
+
+        comp = _composite_tile(out, z, F2, M1, S, ray_major=True)
+        g_rows, dz2d = _composite_tile_bwd(
+            comp, out, F2, M1, S, g_rgb_ref[:], g_w_ref[:], ray_major=True
+        )
+        g_x, g_d = _backward_tile(
+            config, cd, x, d, g_rows, ws, bs, dw_refs, db_refs, acts=acts
+        )
+        denc_ref[:] = g_x
+        if has_dir:
+            # Per-ray cotangent: sum the per-row dir grads over each ray's
+            # S rows (exact one-hot contraction).
+            dencd_ref[:] = _dotA_HI(M1, g_d)
+        dz_ref[:] = dz2d
+
+    return kernel
+
+
+def _forward_mlp_comp_pallas(params, config: MLPConfig, enc, encd, z, S, R_t, cd):
+    R_p = z.shape[0]
+    rows = R_t * S
+    has_dir = config.uses_view_dirs
+    F2, M1 = _expand_consts_rm(R_t, S)
+    ws, bs = _flatten_params(params, config, cd)
+
+    inputs = [enc, z, F2, M1]
+    in_specs = [
+        pl.BlockSpec((rows, enc.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _const_spec(F2),
+        _const_spec(M1),
+    ]
+    if has_dir:
+        inputs.append(encd)
+        in_specs.append(
+            pl.BlockSpec((R_t, encd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+    inputs += [*ws, *bs]
+    in_specs += [_const_spec(t) for t in (*ws, *bs)]
+
+    grid = R_p // R_t
+    rgb, w = pl.pallas_call(
+        _make_forward_mlp_comp(config, cd, len(ws), len(bs), S, has_dir),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((R_t, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R_p, S), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=_mlp_flops(config, R_p * S),
+            bytes_accessed=enc.size * enc.dtype.itemsize + z.size * 4 + R_p * 12,
+            transcendentals=R_p * S * 2,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(*inputs)
+    return rgb, w
+
+
+def _backward_mlp_comp_pallas(params, config: MLPConfig, enc, encd, z, S, R_t, cd,
+                              g_rgb, g_w):
+    R_p = z.shape[0]
+    rows = R_t * S
+    has_dir = config.uses_view_dirs
+    F2, M1 = _expand_consts_rm(R_t, S)
+    ws, bs = _flatten_params(params, config, cd)
+
+    inputs = [enc, z, F2, M1]
+    in_specs = [
+        pl.BlockSpec((rows, enc.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _const_spec(F2),
+        _const_spec(M1),
+    ]
+    if has_dir:
+        inputs.append(encd)
+        in_specs.append(
+            pl.BlockSpec((R_t, encd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+    inputs += [*ws, *bs, g_rgb, g_w]
+    in_specs += [_const_spec(t) for t in (*ws, *bs)]
+    in_specs += [
+        pl.BlockSpec((R_t, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+    out_shapes = [jax.ShapeDtypeStruct((R_p * S, enc.shape[1]), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((rows, enc.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    if has_dir:
+        out_shapes.append(jax.ShapeDtypeStruct((R_p, encd.shape[1]), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((R_t, encd.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+    out_shapes.append(jax.ShapeDtypeStruct((R_p, S), jnp.float32))
+    out_specs.append(
+        pl.BlockSpec((R_t, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    for t in (*ws, *bs):
+        out_shapes.append(jax.ShapeDtypeStruct(t.shape, jnp.float32))
+        out_specs.append(_const_spec(t))
+
+    grid = R_p // R_t
+    outs = pl.pallas_call(
+        _make_backward_mlp_comp(config, cd, len(ws), len(bs), S, has_dir),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * _mlp_flops(config, R_p * S),
+            bytes_accessed=2 * enc.size * enc.dtype.itemsize + z.size * 8,
+            transcendentals=2 * R_p * S * 2,
+        ),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(*inputs)
+    denc = outs[0]
+    k = 1
+    dencd = None
+    if has_dir:
+        dencd = outs[k]
+        k += 1
+    dz = outs[k]
+    dws = outs[k + 1 : k + 1 + len(ws)]
+    dbs = outs[k + 1 + len(ws) :]
+    return denc, dencd, dz, _unflatten_grads(dws, dbs, params, config)
+
+
+def _pad_mlp_comp(config: MLPConfig, enc, encd, z, R_t: int, cd):
+    enc_p = _pad_rows(enc.astype(_input_dtype(cd)), R_t * z.shape[1])
+    z_p = _pad_rows(z.astype(jnp.float32), R_t)
+    encd_p = (
+        _pad_rows(encd.astype(jnp.float32), R_t)
+        if config.uses_view_dirs
+        else None
+    )
+    return enc_p, encd_p, z_p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def _mlp_comp(params, config: MLPConfig, enc, encd, z, cd):
+    return _mlp_comp_fwd(params, config, enc, encd, z, cd)[0]
+
+
+def _ray_tile_bwd(S: int) -> int:
+    """Backward rays per grid step: the recompute-in-tile backward holds ~4x
+    the forward's VMEM (all activations + f32 grad accumulators), so it runs
+    at TILE_ROWS_BWD rows (the MLP-kernel sweep optimum). Always divides
+    :func:`_ray_tile`'s result, so forward padding satisfies the backward."""
+    return 8 * max(1, TILE_ROWS_BWD // (8 * S))
+
+
+def _mlp_comp_fwd(params, config, enc, encd, z, cd):
+    R, S = z.shape
+    R_t = _ray_tile(S)
+    enc_p, encd_p, z_p = _pad_mlp_comp(config, enc, encd, z, R_t, cd)
+    rgb, w = _forward_mlp_comp_pallas(params, config, enc_p, encd_p, z_p, S, R_t, cd)
+    return (rgb[:R], w[:R]), (params, enc_p, encd_p, z_p, (R, S, R_t))
+
+
+def _mlp_comp_bwd(config, cd, res, g):
+    params, enc_p, encd_p, z_p, (R, S, _) = res
+    R_t = _ray_tile_bwd(S)
+    g_rgb, g_w = g
+    R_p = z_p.shape[0]
+    g_rgb_full = jnp.zeros((R_p, 3), jnp.float32).at[:R].set(g_rgb.astype(jnp.float32))
+    g_w_full = jnp.zeros((R_p, S), jnp.float32).at[:R].set(g_w.astype(jnp.float32))
+    denc, dencd, dz, dparams = _backward_mlp_comp_pallas(
+        params, config, enc_p, encd_p, z_p, S, R_t, cd, g_rgb_full, g_w_full
+    )
+    dparams = jax.tree.map(lambda p, dp: dp.astype(p.dtype), params, dparams)
+    denc = denc[: R * S]
+    dencd = dencd[:R] if config.uses_view_dirs else None
+    return dparams, denc, dencd, dz[:R]
+
+
+_mlp_comp.defvjp(
+    lambda params, config, enc, encd, z, cd: _mlp_comp_fwd(
+        params, config, enc, encd, z, cd
+    ),
+    _mlp_comp_bwd,
+)
+
+
+def apply_mlp_composited(
+    params: Params,
+    config: MLPConfig,
+    enc_xyz: jnp.ndarray,
+    enc_dir_ray: jnp.ndarray | None,
+    z_values: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+):
+    """Fused MLP + alpha-compositing over XLA-computed encodings.
+
+    The production train fast path: XLA produces the per-sample xyz
+    encodings (cheap on packed shapes) and the **per-ray** view-dir
+    encodings; the kernel evaluates the full network and composites in-tile,
+    so the raw ``(rays * samples, 4)`` radiance (and its cotangent) never
+    round-trips HBM, and the per-sample broadcast of the view-dir encoding
+    happens in VMEM.
+
+    Reference semantics: MLP ``src/NeRF.py:290-340``, compositing
+    ``src/UtilsNeuralRadianceField.py:88-115``.
+
+    :param enc_xyz: ``(n_rays * S, xyz_dim)`` positional encodings in
+        **ray-major** row order (the natural reshape of ``(rays, S, feat)``),
+        reference/coordinate-major feature layout (``core/encoding.py``).
+    :param enc_dir_ray: ``(n_rays, dir_dim)`` per-ray view-dir encodings
+        (NOT broadcast over samples), or None for xyz-only nets.
+    :param z_values: ``(n_rays, S)``.
+    :return: ``(rgb (n_rays, 3), weights (n_rays, S))`` float32.
+        Differentiable w.r.t. ``params``, ``enc_xyz``, ``enc_dir_ray`` and
+        ``z_values`` (the z grad covers the compositing-delta path; the
+        point-position path flows through ``enc_xyz``'s cotangent into the
+        XLA encoding VJP).
+    """
+    if config.uses_view_dirs and enc_dir_ray is None:
+        raise ValueError("this MLP config requires per-ray view-dir encodings")
+    return _mlp_comp(
+        params, config, enc_xyz,
+        enc_dir_ray if config.uses_view_dirs else None,
+        z_values.astype(jnp.float32), compute_dtype,
+    )
+
+
+# shard_map wrapper (mesh runs) ----------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
+def _mlp_comp_sharded(params, config: MLPConfig, enc, encd, z, cd, mesh, axis):
+    return _sharded_mlp_comp_forward(params, config, enc, encd, z, cd, mesh, axis)
+
+
+def _sharded_mlp_comp_forward(params, config, enc, encd, z, cd, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    _row_shard(z.shape[0], mesh, axis)
+    has_dir = config.uses_view_dirs
+    row = P(axis)
+
+    def body(p, e, d, zz):
+        R, S = zz.shape
+        R_t = _ray_tile(S)
+        enc_p, encd_p, z_p = _pad_mlp_comp(config, e, d if has_dir else None, zz, R_t, cd)
+        rgb, w = _forward_mlp_comp_pallas(p, config, enc_p, encd_p, z_p, S, R_t, cd)
+        return rgb[:R], w[:R]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), row, row if has_dir else P(), row),
+        out_specs=(row, row),
+        check_vma=False,
+    )
+    return f(params, enc, encd if has_dir else jnp.zeros((), jnp.float32), z)
+
+
+def _sharded_mlp_comp_fwd(params, config, enc, encd, z, cd, mesh, axis):
+    out = _sharded_mlp_comp_forward(params, config, enc, encd, z, cd, mesh, axis)
+    return out, (params, enc, encd, z)
+
+
+def _sharded_mlp_comp_bwd(config, cd, mesh, axis, res, g):
+    from jax.sharding import PartitionSpec as P
+
+    params, enc, encd, z = res
+    g_rgb, g_w = g
+    has_dir = config.uses_view_dirs
+    row = P(axis)
+
+    def body(p, e, d, zz, gr, gw):
+        R, S = zz.shape
+        enc_p, encd_p, z_p = _pad_mlp_comp(
+            config, e, d if has_dir else None, zz, _ray_tile(S), cd
+        )
+        R_t = _ray_tile_bwd(S)
+        R_p = z_p.shape[0]
+        gr_full = jnp.zeros((R_p, 3), jnp.float32).at[:R].set(gr.astype(jnp.float32))
+        gw_full = jnp.zeros((R_p, S), jnp.float32).at[:R].set(gw.astype(jnp.float32))
+        denc, dencd, dz, dparams = _backward_mlp_comp_pallas(
+            p, config, enc_p, encd_p, z_p, S, R_t, cd, gr_full, gw_full
+        )
+        dparams = jax.lax.psum(dparams, axis)
+        dencd_out = dencd[:R] if has_dir else jnp.zeros((), jnp.float32)
+        return dparams, denc[: R * S], dencd_out, dz[:R]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), row, row if has_dir else P(), row, row, row),
+        out_specs=(P(), row, row if has_dir else P(), row),
+        check_vma=False,
+    )
+    dparams, denc, dencd, dz = f(
+        params, enc, encd if has_dir else jnp.zeros((), jnp.float32), z, g_rgb, g_w
+    )
+    dparams = jax.tree.map(lambda p, dp: dp.astype(p.dtype), params, dparams)
+    denc = denc.astype(enc.dtype)
+    return dparams, denc, (dencd if has_dir else None), dz
+
+
+_mlp_comp_sharded.defvjp(_sharded_mlp_comp_fwd, _sharded_mlp_comp_bwd)
+
+
+def apply_mlp_composited_sharded(
+    params: Params,
+    config: MLPConfig,
+    enc_xyz: jnp.ndarray,
+    enc_dir_ray: jnp.ndarray | None,
+    z_values: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+    *,
+    mesh,
+    axis: str = "data",
+):
+    """Mesh-parallel :func:`apply_mlp_composited`: rays sharded over ``axis``
+    (``enc_xyz`` rows are ray-major, so its row sharding aligns with the ray
+    sharding), params replicated, weight-grad psum over ICI in the backward."""
+    if config.uses_view_dirs and enc_dir_ray is None:
+        raise ValueError("this MLP config requires per-ray view-dir encodings")
+    return _mlp_comp_sharded(
+        params, config, enc_xyz,
+        enc_dir_ray if config.uses_view_dirs else None,
         z_values.astype(jnp.float32), compute_dtype, mesh, axis,
     )

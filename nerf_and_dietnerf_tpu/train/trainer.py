@@ -72,7 +72,9 @@ class Trainer:
         self.config: NeRFConfig = dataclasses.replace(
             run.nerf_config(), near=dataset.near, far=dataset.far
         )
-        if mesh is not None and self.config.backend == "pallas":
+        if mesh is not None and self.config.backend in (
+            "pallas", "pallas_mlp", "pallas_rm"
+        ):
             # pallas_call has no GSPMD partitioning rule; on a mesh the fused
             # kernel runs shard_mapped over the data axis with an explicit
             # weight-grad psum (ops/raymarch_pallas.apply_mlp_fused_sharded).

@@ -87,10 +87,26 @@ class RunConfig:
     # TPU-native extensions (no reference analog).
     mesh_data_devices: Optional[int] = None  # None => all local devices
     compute_dtype: str = "bfloat16"          # "float32" for parity runs
-    backend: str = "xla"                     # "xla" | "pallas" | "pallas_mlp"
+    backend: str = "xla"        # "xla" | "pallas" | "pallas_mlp" | "pallas_rm"
     on_device_epoch: bool = True             # whole-epoch lax.scan when it fits
     stop_fine_z_grad: bool = False           # True = bmild/nerf stop-gradient
     config_name: str = "run"                 # stem of the YAML file
+
+    VALID_BACKENDS = ("xla", "pallas", "pallas_mlp", "pallas_rm")
+
+    def __post_init__(self):
+        # A typo'd backend would silently fall through to the plain-XLA path
+        # in models/nerf._mlp_apply and benchmark the wrong implementation.
+        if self.backend not in self.VALID_BACKENDS:
+            raise ValueError(
+                f"unknown backend {self.backend!r}; expected one of "
+                f"{self.VALID_BACKENDS}"
+            )
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError(
+                f"unknown compute_dtype {self.compute_dtype!r}; expected "
+                "'bfloat16' or 'float32'"
+            )
 
     def nerf_config(self) -> NeRFConfig:
         """The jit-static model/render config derived from this run config."""

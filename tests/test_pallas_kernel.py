@@ -400,3 +400,152 @@ def test_raymarch_composited_sharded_matches_single():
         np.testing.assert_allclose(
             np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
         )
+
+
+# --------------------------------------------------------------------------- #
+# Fused MLP + compositing kernel over XLA encodings (production train path)  #
+# --------------------------------------------------------------------------- #
+
+
+def _enc_inputs(cfg, orig, dirs, z):
+    from nerf_and_dietnerf_tpu.core import cameras, encoding
+
+    pts = cameras.sample_points_along_rays(orig, dirs, z)[..., :3].reshape(-1, 3)
+    ex = encoding.encode_xyz(pts, cfg.n_freq_xyz)
+    ed = None
+    if cfg.uses_view_dirs:
+        vc = cameras.view_direction_components(dirs, cfg.n_angles)
+        ed = encoding.encode_view_dirs(vc, cfg.n_freq_dir)  # per-RAY
+    return ex, ed
+
+
+@pytest.mark.parametrize("cfg", CASES, ids=["view_dirs", "xyz_only"])
+def test_mlp_composited_matches_xla(cfg):
+    """Fwd (pixels + weights) and grads (params, encodings AND z with
+    cotangents on both outputs) vs the XLA pipeline, non-multiple-of-tile
+    ray count."""
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    n_rays, S = 13, 6
+    orig, dirs, z = _rays(n_rays, S)
+
+    rgb_ref, w_ref = _xla_composited(cfg, params, orig, dirs, z)
+
+    def kernel_out(p, zz):
+        ex, ed = _enc_inputs(cfg, orig, dirs, zz)
+        return rp.apply_mlp_composited(p, cfg, ex, ed, zz, jnp.float32)
+
+    rgb, w = kernel_out(params, z)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=3e-4, rtol=3e-4)
+
+    g_rgb = jax.random.normal(jax.random.PRNGKey(5), (n_rays, 3))
+    g_w = jax.random.normal(jax.random.PRNGKey(6), (n_rays, S))
+
+    def xla_loss(p, zz):
+        r, ww = _xla_composited(cfg, p, orig, dirs, zz)
+        return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
+
+    def kern_loss(p, zz):
+        r, ww = kernel_out(p, zz)
+        return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
+
+    gr = jax.grad(xla_loss, argnums=(0, 1))(params, z)
+    gn = jax.grad(kern_loss, argnums=(0, 1))(params, z)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gn)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
+
+
+def test_mlp_composited_backend_training_losses_match():
+    """backend='pallas' + fuse_compositing trains with XLA-identical loss and
+    grads (the full training objective, coarse+fine, resampling included)."""
+    import dataclasses
+
+    from nerf_and_dietnerf_tpu.models import nerf
+
+    cfg_x = nerf.NeRFConfig(
+        mlp=CASES[0], n_samples_coarse=5, n_samples_fine=7,
+        compute_dtype=jnp.float32, backend="xla",
+    )
+    cfg_p = dataclasses.replace(cfg_x, backend="pallas", fuse_compositing=True)
+    params = nerf.init_params(jax.random.PRNGKey(0), cfg_x)
+    n = 9
+    orig, dirs, _ = _rays(n, 4)
+    rgb = jax.random.uniform(jax.random.PRNGKey(7), (n, 3))
+
+    def loss(cfg, p):
+        return nerf.training_losses(p, cfg, jax.random.PRNGKey(11), orig, dirs, rgb)[0]
+
+    lx, gx = jax.value_and_grad(lambda p: loss(cfg_x, p))(params)
+    lp, gp = jax.value_and_grad(lambda p: loss(cfg_p, p))(params)
+    np.testing.assert_allclose(float(lp), float(lx), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
+
+
+def test_mlp_composited_sharded_matches_single():
+    from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
+
+    cfg = CASES[0]
+    mesh = mesh_lib.make_mesh()
+    n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    n_rays, S = 2 * n_dev, 6
+    orig, dirs, z = _rays(n_rays, S)
+
+    rgb_ref, w_ref = _xla_composited(cfg, params, orig, dirs, z)
+
+    def kernel_out(p, zz):
+        ex, ed = _enc_inputs(cfg, orig, dirs, zz)
+        return rp.apply_mlp_composited_sharded(
+            p, cfg, ex, ed, zz, jnp.float32, mesh=mesh, axis=mesh_lib.DATA_AXIS
+        )
+
+    rgb, w = jax.jit(kernel_out)(params, z)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=3e-4, rtol=3e-4)
+
+    g_rgb = jax.random.normal(jax.random.PRNGKey(5), (n_rays, 3))
+    g_w = jax.random.normal(jax.random.PRNGKey(6), (n_rays, S))
+
+    def xla_loss(p, zz):
+        r, ww = _xla_composited(cfg, p, orig, dirs, zz)
+        return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
+
+    def kern_loss(p, zz):
+        r, ww = kernel_out(p, zz)
+        return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
+
+    gr = jax.grad(xla_loss, argnums=(0, 1))(params, z)
+    gn = jax.jit(jax.grad(kern_loss, argnums=(0, 1)))(params, z)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gn)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
+
+
+def test_mlp_composited_opaque_rays_nan_free():
+    """Opaque rays (T underflows to exactly 0) must keep grads finite through
+    the log-step suffix-scan backward."""
+    cfg = CASES[1]
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    params["sigma_out"]["bias"] = params["sigma_out"]["bias"] + 1e6
+    n_rays, S = 4, 6
+    orig, dirs, z = _rays(n_rays, S)
+    z = jnp.sort(z, axis=-1)
+
+    def loss(p, zz):
+        ex, ed = _enc_inputs(cfg, orig, dirs, zz)
+        r, ww = rp.apply_mlp_composited(p, cfg, ex, ed, zz, jnp.float32)
+        return jnp.sum(r) + jnp.sum(ww)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, z)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))

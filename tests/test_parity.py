@@ -69,11 +69,14 @@ def test_reference_weights_reproduce_test_psnr(scene):
     committed_test, _ = np.load(PSNRS)
     want = committed_test[-1]  # 27.83 dB
     # Our float32 render beats the reference's float16 mixed-precision eval
-    # renders by ~1.8 dB with its own weights; parity means "at least as good,
-    # and in the same regime" (a pipeline-convention mismatch collapses PSNR
-    # to <15 dB, so the window is discriminative).
-    assert want - 0.3 <= got <= want + 4.0, (
-        f"test PSNR {got:.2f} vs committed {want:.2f}"
+    # renders by ~1.8 dB with its own weights (29.59 dB measured); the window
+    # is our own measured value +- stratified/hierarchical RNG noise. The
+    # deterministic fixed-z goldens (tests/test_golden.py) lock the exact
+    # conventions; this asserts end-to-end quality in the same regime.
+    ours = 29.59
+    assert got >= want - 0.3, f"test PSNR {got:.2f} below committed {want:.2f}"
+    assert abs(got - ours) <= 0.4, (
+        f"test PSNR {got:.2f} drifted from our measured f32 value {ours:.2f}"
     )
 
 
