@@ -80,6 +80,12 @@ class NeRFConfig:
     # XLA runs the same math on packed logical shapes. Kept for research:
     # value/grad parity is tested either way (tests/test_pallas_kernel.py).
     fuse_compositing: bool = False
+    # Fine-pass training objective as ONE fused kernel (forward + MSE +
+    # full backward with VMEM-resident activations — no recompute, total dz
+    # emitted in-kernel; ``ops/raymarch_pallas.apply_mlp_loss_composited``).
+    # Only consulted by the pallas backends on single-chip runs (mesh runs
+    # fall back to the split path).
+    fuse_fine_loss: bool = False
     # Device mesh for the fused-kernel path. pallas_call has no GSPMD
     # partitioning rule, so on a mesh the kernel must be shard_mapped over
     # the data axis (``ops/raymarch_pallas.apply_mlp_fused_sharded``); the
@@ -312,10 +318,37 @@ def training_losses(
         )
         if config.stop_fine_z_grad:
             z_fine = jax.lax.stop_gradient(z_fine)
-        rgb_fine, _ = render_rays_train(
-            params["fine"], config, rays_orig, rays_dirs, z_fine
-        )
-        mse_fine = jnp.mean(jnp.square(target_rgb - rgb_fine))
+        if (
+            config.backend in ("pallas", "pallas_mlp")
+            and config.fuse_fine_loss
+            and config.mesh is None
+        ):
+            # One fused kernel: forward + MSE + full backward, activations
+            # VMEM-resident (saves the backward's forward recompute). The
+            # kernel emits the TOTAL dz; enc gets a structural-zero cotangent.
+            from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+
+            points = cameras.sample_points_along_rays(
+                rays_orig, rays_dirs, z_fine
+            )
+            enc_xyz = encoding.encode_xyz(
+                points[..., :3].reshape(-1, 3), config.mlp.n_freq_xyz
+            )
+            enc_dir = None
+            if config.mlp.uses_view_dirs:
+                comps = cameras.view_direction_components(
+                    rays_dirs, config.mlp.n_angles
+                )
+                enc_dir = encoding.encode_view_dirs(comps, config.mlp.n_freq_dir)
+            mse_fine = raymarch_pallas.apply_mlp_loss_composited(
+                params["fine"], config.mlp, enc_xyz, enc_dir, z_fine,
+                rays_dirs, target_rgb, config.compute_dtype,
+            )
+        else:
+            rgb_fine, _ = render_rays_train(
+                params["fine"], config, rays_orig, rays_dirs, z_fine
+            )
+            mse_fine = jnp.mean(jnp.square(target_rgb - rgb_fine))
         loss = loss + mse_fine
         metrics["psnr_fine"] = rendering.psnr_from_mse(mse_fine)
 

@@ -549,3 +549,99 @@ def test_mlp_composited_opaque_rays_nan_free():
     assert np.isfinite(float(val))
     for leaf in jax.tree.leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+# --------------------------------------------------------------------------- #
+# Fused fine-pass loss kernel (fwd + MSE + full backward in one invocation)  #
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("cfg", CASES, ids=["view_dirs", "xyz_only"])
+def test_mlp_loss_composited_matches_xla(cfg):
+    """The one-kernel fine objective: value AND grads (params + z) must match
+    mean((composite(MLP) - target)^2) through the XLA pipeline."""
+    params = m.init_params(jax.random.PRNGKey(0), cfg)
+    n_rays, S = 13, 6
+    orig, dirs, z = _rays(n_rays, S)
+    target = jax.random.uniform(jax.random.PRNGKey(9), (n_rays, 3))
+
+    def xla_loss(p, zz):
+        r, _ = _xla_composited(cfg, p, orig, dirs, zz)
+        return jnp.mean(jnp.square(r - target))
+
+    def kern_loss(p, zz):
+        ex, ed = _enc_inputs(cfg, orig, dirs, zz)
+        return rp.apply_mlp_loss_composited(
+            p, cfg, ex, ed, zz, dirs, target, jnp.float32
+        )
+
+    lx = float(xla_loss(params, z))
+    lk = float(kern_loss(params, z))
+    np.testing.assert_allclose(lk, lx, atol=1e-6, rtol=1e-5)
+
+    gr = jax.grad(xla_loss, argnums=(0, 1))(params, z)
+    gn = jax.grad(kern_loss, argnums=(0, 1))(params, z)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gn)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
+
+
+def test_fuse_fine_loss_training_losses_match():
+    """backend='pallas' + fuse_fine_loss trains with XLA-identical loss and
+    grads through the FULL objective (coarse + resample + fine)."""
+    import dataclasses
+
+    from nerf_and_dietnerf_tpu.models import nerf
+
+    cfg_x = nerf.NeRFConfig(
+        mlp=CASES[0], n_samples_coarse=5, n_samples_fine=7,
+        compute_dtype=jnp.float32, backend="xla",
+    )
+    cfg_p = dataclasses.replace(cfg_x, backend="pallas", fuse_fine_loss=True)
+    params = nerf.init_params(jax.random.PRNGKey(0), cfg_x)
+    n = 9
+    orig, dirs, _ = _rays(n, 4)
+    rgb = jax.random.uniform(jax.random.PRNGKey(7), (n, 3))
+
+    def loss(cfg, p):
+        return nerf.training_losses(p, cfg, jax.random.PRNGKey(11), orig, dirs, rgb)[0]
+
+    lx, gx = jax.value_and_grad(lambda p: loss(cfg_x, p))(params)
+    lp, gp = jax.value_and_grad(lambda p: loss(cfg_p, p))(params)
+    np.testing.assert_allclose(float(lp), float(lx), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
+
+
+def test_fuse_fine_loss_respects_stop_fine_z_grad():
+    """With stop_fine_z_grad the coarse grads must match the XLA stop-z path
+    (the resampler VJP is cut; only the coarse MSE reaches the coarse net)."""
+    import dataclasses
+
+    from nerf_and_dietnerf_tpu.models import nerf
+
+    cfg_x = nerf.NeRFConfig(
+        mlp=CASES[1], n_samples_coarse=5, n_samples_fine=7,
+        compute_dtype=jnp.float32, backend="xla", stop_fine_z_grad=True,
+    )
+    cfg_p = dataclasses.replace(cfg_x, backend="pallas", fuse_fine_loss=True)
+    params = nerf.init_params(jax.random.PRNGKey(0), cfg_x)
+    n = 9
+    orig, dirs, _ = _rays(n, 4)
+    rgb = jax.random.uniform(jax.random.PRNGKey(7), (n, 3))
+
+    def loss(cfg, p):
+        return nerf.training_losses(p, cfg, jax.random.PRNGKey(11), orig, dirs, rgb)[0]
+
+    gx = jax.grad(lambda p: loss(cfg_x, p))(params)
+    gp = jax.grad(lambda p: loss(cfg_p, p))(params)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        scale = max(1e-6, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4
+        )
