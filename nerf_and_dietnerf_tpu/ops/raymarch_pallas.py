@@ -1202,6 +1202,22 @@ _dotM = functools.partial(  # M1^T @ x : one-hot scatter rows -> (R_t, ...)
 )
 
 
+def _shift_right_lanes(x, k, fill):
+    """``out[:, j] = x[:, j-k]`` for ``j >= k``, else ``fill`` — one
+    tpu.rotate + iota select. Mosaic rejects some pad-and-concat lane shifts
+    ("result/input offset mismatch on non-concat dimension"), and a rotate
+    avoids the relayout entirely."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= k, pltpu.roll(x, k, axis=1), fill)
+
+
+def _shift_left_lanes(x, k, fill):
+    """``out[:, j] = x[:, j+k]`` for ``j < S-k``, else ``fill``."""
+    S = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < S - k, pltpu.roll(x, S - k, axis=1), fill)
+
+
 def _exclusive_cumprod_lanes(v):
     """Exclusive prefix product along the lane axis: ``[1, v0, v0*v1, ...]``.
 
@@ -1210,10 +1226,10 @@ def _exclusive_cumprod_lanes(v):
     float rounding otherwise.
     """
     R, S = v.shape
-    x = jnp.concatenate([jnp.ones((R, 1), v.dtype), v[:, :-1]], axis=1)
+    x = _shift_right_lanes(v, 1, 1.0)
     k = 1
     while k < S:
-        x = x * jnp.concatenate([jnp.ones((R, k), v.dtype), x[:, :-k]], axis=1)
+        x = x * _shift_right_lanes(x, k, 1.0)
         k *= 2
     return x
 
@@ -1229,8 +1245,8 @@ def _suffix_affine_scan(M, U):
     R, S = M.shape
     k = 1
     while k < S:
-        U = U + M * jnp.concatenate([U[:, k:], jnp.zeros((R, k), U.dtype)], axis=1)
-        M = M * jnp.concatenate([M[:, k:], jnp.ones((R, k), M.dtype)], axis=1)
+        U = U + M * _shift_left_lanes(U, k, 0.0)
+        M = M * _shift_left_lanes(M, k, 1.0)
         k *= 2
     return U
 
@@ -1296,10 +1312,11 @@ def _composite_tile(out, z, F2, M1, S):
     g2r = lambda x2d: _2d_to_rows(x2d, F2, S)
     sigma_row = jnp.maximum(out[:, 3:4], 0.0)
     c_row = 1.0 / (1.0 + jnp.exp(-out[:, 0:3]))  # sigmoid, rendering.jax_sigmoid
-    delta2d = jnp.concatenate(
-        [z[:, 1:] - z[:, :-1],
-         jnp.full((z.shape[0], 1), TERMINAL_DELTA, jnp.float32)],
-        axis=1,
+    S_z = z.shape[1]
+    delta2d = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) < S_z - 1,
+        _shift_left_lanes(z, 1, 0.0) - z,
+        TERMINAL_DELTA,
     )
     delta_row = g2r(delta2d)
     alpha_row = 1.0 - jnp.exp(-sigma_row * delta_row)
@@ -1337,9 +1354,7 @@ def _composite_tile_bwd(comp, out, F2, M1, S, g_rgb, g_w):
     # Reverse affine recurrence over samples (C_s = dL/dT_{s+1} chain),
     # parallelized as a log-step suffix scan instead of S serial column ops.
     U = _suffix_affine_scan(1.0 - alpha2d, gW2d * alpha2d)  # U[:, s] = C_s
-    C_next = jnp.concatenate(
-        [U[:, 1:], jnp.zeros((R_t, 1), jnp.float32)], axis=1
-    )
+    C_next = _shift_left_lanes(U, 1, 0.0)
     da2d = (gW2d - C_next) * T2d
 
     # alpha = 1 - exp(-sigma * delta):  d/dsigma = delta * (1 - alpha),
@@ -1351,7 +1366,7 @@ def _composite_tile_bwd(comp, out, F2, M1, S, g_rgb, g_w):
         jax.lax.broadcasted_iota(jnp.int32, (R_t, S), 1) < S - 1
     ).astype(jnp.float32)
     dd = ddelta2d * not_last
-    dz2d = jnp.concatenate([jnp.zeros((R_t, 1), jnp.float32), dd[:, :-1]], axis=1) - dd
+    dz2d = _shift_right_lanes(dd, 1, 0.0) - dd
 
     da_row = g2r(da2d)
     g_sig_raw = jnp.where(
@@ -1790,10 +1805,10 @@ def _composite_tile_rm(out, z, S):
         1.0 / (1.0 + jnp.exp(-out[:, k : k + 1].reshape(R_t, S)))  # sigmoid
         for k in range(3)
     ]
-    delta2d = jnp.concatenate(
-        [z[:, 1:] - z[:, :-1],
-         jnp.full((R_t, 1), TERMINAL_DELTA, jnp.float32)],
-        axis=1,
+    delta2d = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) < S - 1,
+        _shift_left_lanes(z, 1, 0.0) - z,
+        TERMINAL_DELTA,
     )
     alpha2d = 1.0 - jnp.exp(-sigma2d * delta2d)
     T2d = _exclusive_cumprod_lanes(1.0 - alpha2d)
@@ -1825,9 +1840,7 @@ def _composite_tile_rm_bwd(comp, S, g_rgb, g_w):
     # Reverse affine recurrence (C_s = dL/dT_{s+1} chain) as a log-step
     # suffix scan on the packed (R_t, S) tile.
     U = _suffix_affine_scan(1.0 - alpha2d, gW2d * alpha2d)
-    C_next = jnp.concatenate(
-        [U[:, 1:], jnp.zeros((R_t, 1), jnp.float32)], axis=1
-    )
+    C_next = _shift_left_lanes(U, 1, 0.0)
     da2d = (gW2d - C_next) * T2d
 
     om2d = 1.0 - alpha2d
@@ -1836,9 +1849,7 @@ def _composite_tile_rm_bwd(comp, S, g_rgb, g_w):
         jax.lax.broadcasted_iota(jnp.int32, (R_t, S), 1) < S - 1
     ).astype(jnp.float32)
     dd = ddelta2d * not_last
-    dz2d = jnp.concatenate(
-        [jnp.zeros((R_t, 1), jnp.float32), dd[:, :-1]], axis=1
-    ) - dd
+    dz2d = _shift_right_lanes(dd, 1, 0.0) - dd
 
     # relu' on the raw sigma: relu(x) > 0 <=> x > 0, so sigma2d carries it.
     g_sig2d = jnp.where(
@@ -2351,14 +2362,16 @@ def _make_loss_mlp_comp(config: MLPConfig, cd, n_w, n_b, S, has_dir, inv_n):
         )
 
         # Encoding VJP -> dz, from enc's own sin/cos columns (no trig).
+        # Lane shifts via tpu.rotate (Mosaic rejects the pad-and-concat
+        # formulation here: "result/input offset mismatch on non-concat
+        # dimension"). The wrapped-around lane of each rotate lands on a
+        # column where the corresponding mask is structurally zero (col 0 is
+        # the identity column, the last column is a cos column), so rotate
+        # and shift agree after masking.
         enc_f = x_ref[:].astype(jnp.float32)
-        dim = enc_f.shape[1]
-        E1 = jnp.concatenate(
-            [enc_f[:, 1:], jnp.zeros((enc_f.shape[0], 1), jnp.float32)], axis=1
-        )
-        E2 = jnp.concatenate(
-            [jnp.zeros((enc_f.shape[0], 1), jnp.float32), enc_f[:, :-1]], axis=1
-        )
+        W = enc_f.shape[1]
+        E1 = pltpu.roll(enc_f, W - 1, axis=1)  # col j reads j+1 (shift left)
+        E2 = pltpu.roll(enc_f, 1, axis=1)      # col j reads j-1 (shift right)
         deriv = maskL_ref[:] * E1 + maskR_ref[:] * E2 + idm_ref[:]
         P = g_x * deriv                            # (rows, xyz_dim)
         P_hi, P_lo = _split_hi_lo(P)

@@ -63,8 +63,17 @@ def main() -> None:
             return float(loss), jax.device_get(grads)
 
         loss_ref, grads_ref = loss_grads(cfg_x)
-        for backend in ("pallas", "pallas_rm"):
-            cfg = dataclasses.replace(cfg_x, backend=backend)
+        variants = (
+            ("pallas", {}),
+            ("pallas+fuse_fine_loss", {"backend": "pallas", "fuse_fine_loss": True}),
+            ("pallas+fuse_compositing", {"backend": "pallas", "fuse_compositing": True}),
+            ("pallas_rm", {}),
+        )
+        for name, overrides in variants:
+            cfg = dataclasses.replace(
+                cfg_x, **(overrides or {"backend": name})
+            )
+            backend = name
             loss_got, grads_got = loss_grads(cfg)
             rel_loss = abs(loss_got - loss_ref) / max(1e-6, abs(loss_ref))
             rel_grad = max_rel_err(grads_ref, grads_got)
