@@ -17,11 +17,31 @@ single-A100 TF implementations of this size sustain roughly 40-60k rays/s;
 
 from __future__ import annotations
 
+import glob
 import json
+import re
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _last_committed_value() -> float | None:
+    """Throughput recorded in the newest committed BENCH_r*.json, if any."""
+    best = None
+    for path in glob.glob("BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                value = json.load(f).get("parsed", {}).get("value")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if value is not None and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), float(value))
+    return best[1] if best else None
 
 
 def main() -> None:
@@ -61,6 +81,21 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     rays_per_sec = batch * steps_per_call * n_calls / dt
+
+    # Regression tripwire (stderr — stdout stays one JSON line): compare
+    # against the newest committed BENCH_r*.json and complain loudly on a
+    # significant drop so a silent routing/backend regression fails review.
+    committed = _last_committed_value()
+    if committed:
+        delta = rays_per_sec / committed - 1.0
+        msg = (
+            f"[bench tripwire] {rays_per_sec:,.0f} rays/s vs last committed "
+            f"{committed:,.0f} ({delta:+.1%})"
+        )
+        if delta < -0.05:
+            msg += "  *** REGRESSION: >5% below the committed number ***"
+        print(msg, file=sys.stderr)
+
     baseline = 50_000.0
     print(
         json.dumps(
@@ -69,6 +104,10 @@ def main() -> None:
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / baseline, 3),
+                "baseline_note": (
+                    "analytic single-A100 estimate (~50k rays/s) — the "
+                    "reference publishes no numbers (BASELINE.md)"
+                ),
             }
         )
     )

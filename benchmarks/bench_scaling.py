@@ -1,11 +1,29 @@
 #!/usr/bin/env python
-"""Data-parallel scaling efficiency on a virtual device mesh.
+"""Data-parallel scaling: what a single host can honestly measure.
 
-BASELINE.json north-star metric #4 (>= 0.9 efficiency at N hosts). Real pods
-aren't reachable from CI, so this measures the *sharded program* on N virtual
-CPU devices: it validates that the step scales (per-device work shrinks as
-1/N with replicated-gradient psum) and that efficiency accounting works; run
-the same script on a real pod slice for hardware numbers.
+BASELINE.json north-star metric #4 is ">= 0.9 rays/s scaling efficiency at
+N >= 2 hosts". A real pod is not reachable from this environment, and a
+*virtual* N-device CPU mesh cannot measure efficiency either: the N virtual
+devices share one CPU's cores, so N-fold "weak scaling" just measures core
+contention (measured 0.13 "efficiency" at 8 virtual devices — silicon
+contention, not program overhead).
+
+What the virtual mesh CAN measure is **sharding overhead**: the same global
+batch stepped (a) unsharded on one device and (b) sharded over all N devices
+with replicated-gradient psum. Same total FLOPs on the same silicon — any
+slowdown is partitioning/collective overhead added by the sharded program.
+A ratio ~1.0 means GSPMD inserts no serialization bottleneck.
+
+For the real-pod number this prints an **analytic ICI model** from measured
+quantities: per-step gradient all-reduce bytes (the only cross-chip traffic;
+params are replicated) vs the committed single-chip step time. On v5e ICI
+(~186 GB/s/link bidirectional, ring all-reduce moves 2*(N-1)/N * bytes), the
+~4.2 MB gradient all-reduce overlaps with a ~28 ms backward — expected
+efficiency is >0.99, far above the 0.9 target; the binding risk at scale is
+input pipeline, not ICI. Run this script on a real pod slice to replace the
+model with hardware numbers.
+
+Prints one JSON line per metric.
 """
 
 from __future__ import annotations
@@ -36,22 +54,30 @@ def main() -> None:
         n_samples_coarse=16, n_samples_fine=16, compute_dtype=jnp.float32,
     )
     opt = ts.make_optimizer(5e-4)
-    batch_per_dev = 512
+    global_batch = 4096
 
-    def run(devices):
-        mesh = mesh_lib.make_mesh(jax.devices()[:devices])
-        n = batch_per_dev * devices
+    def make_batch(n):
         orig = jnp.zeros((n, 4)).at[:, 3].set(1.0)
         dirs = jnp.concatenate(
             [jax.random.normal(jax.random.PRNGKey(1), (n, 3)), jnp.zeros((n, 1))], -1
         )
         rgb = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
-        batch = mesh_lib.shard_batch(mesh, orig, dirs, rgb)
-        state = jax.device_put(
-            ts.init_train_state(jax.random.PRNGKey(0), config, opt),
-            mesh_lib.replicated(mesh),
-        )
-        step = ts.make_train_step(config, opt, mesh=mesh, donate=False)
+        return orig, dirs, rgb
+
+    def time_step(devices):
+        """Seconds/step for the SAME global batch on 1 vs N devices."""
+        batch = make_batch(global_batch)
+        if devices == 1:
+            state = ts.init_train_state(jax.random.PRNGKey(0), config, opt)
+            step = ts.make_train_step(config, opt, donate=False)
+        else:
+            mesh = mesh_lib.make_mesh(jax.devices()[:devices])
+            batch = mesh_lib.shard_batch(mesh, *batch)
+            state = jax.device_put(
+                ts.init_train_state(jax.random.PRNGKey(0), config, opt),
+                mesh_lib.replicated(mesh),
+            )
+            step = ts.make_train_step(config, opt, mesh=mesh, donate=False)
         state, m = step(state, jax.random.PRNGKey(3), batch)
         float(m["loss"])  # host-materialization timing fence
         iters = 10
@@ -59,22 +85,53 @@ def main() -> None:
         for i in range(iters):
             state, m = step(state, jax.random.PRNGKey(i), batch)
         float(m["loss"])
-        return n * iters / (time.perf_counter() - t0)
+        return (time.perf_counter() - t0) / iters
 
-    base = run(1)
-    full = run(n_dev)
-    efficiency = full / (base * n_dev)
+    t1 = time_step(1)
+    tn = time_step(n_dev)
+    overhead = tn / t1
     print(
         json.dumps(
             {
-                "metric": "dp_scaling_efficiency",
-                "value": round(efficiency, 3),
-                "unit": f"throughput ratio at {n_dev} devices (weak scaling)",
-                "rays_per_sec_1dev": round(base, 1),
-                f"rays_per_sec_{n_dev}dev": round(full, 1),
+                "metric": "dp_sharding_overhead_virtual_mesh",
+                "value": round(overhead, 3),
+                "unit": f"t_sharded/t_single, same {global_batch}-ray global batch, "
+                        f"{n_dev} virtual CPU devices",
+                "note": (
+                    "~1.0 => the sharded program adds no serialization; NOT a "
+                    "hardware efficiency number (virtual devices share one CPU)"
+                ),
+                "s_per_step_single": round(t1, 5),
+                "s_per_step_sharded": round(tn, 5),
             }
         )
     )
+
+    # Analytic ICI model for the real-pod efficiency (flagship shape).
+    flagship = nerf.NeRFConfig()
+    params = nerf.init_params(jax.random.PRNGKey(0), flagship)
+    grad_bytes = sum(
+        leaf.size * 4 for leaf in jax.tree.leaves(params)
+    )  # f32 gradient all-reduce payload per step
+    step_s = 0.0284  # committed single-chip step time (BENCH_r02, 28.4 ms)
+    ici_bytes_per_s = 186e9  # v5e ICI per-link bidirectional
+    for n in (2, 4, 8, 16, 64, 256):
+        ring_bytes = 2 * (n - 1) / n * grad_bytes
+        comm_s = ring_bytes / ici_bytes_per_s
+        # Upper bound: zero overlap with backward. XLA overlaps in practice.
+        eff = step_s / (step_s + comm_s)
+        if n in (2, 8, 256):
+            print(
+                json.dumps(
+                    {
+                        "metric": "dp_scaling_efficiency_analytic",
+                        "value": round(eff, 4),
+                        "unit": f"modelled at {n} chips (no-overlap lower bound)",
+                        "grad_allreduce_mbytes": round(ring_bytes / 1e6, 2),
+                        "needs_real_pod": True,
+                    }
+                )
+            )
 
 
 if __name__ == "__main__":

@@ -142,6 +142,9 @@ def render_rays(
         # Fully fused path: point-gen + positional encoding happen inside the
         # kernel from per-ray data (~4 MB/step vs ~805 MB of lane-padded
         # per-sample encodings), see ops/raymarch_pallas.apply_raymarch_fused.
+        # NOTE: its VJP drops ray-input cotangents (rays_orig / rays_dirs /
+        # view comps get structural zeros; dparams and dz are real) — fine for
+        # training/rendering where rays are data, unusable for pose gradients.
         from nerf_and_dietnerf_tpu.ops import raymarch_pallas
 
         comps = (
@@ -196,6 +199,12 @@ def render_rays_train(
     VJP runs in-kernel.
     """
     if config.backend == "pallas_rm" and config.fuse_compositing:
+        # NOTE: the fused raymarch kernels return structural-zero cotangents
+        # for rays_orig / rays_dirs / view components (only dparams and dz are
+        # real). Safe here: the training objective never differentiates w.r.t.
+        # the ray tensors (they are input data), and the z cotangent — which
+        # carries the fine-resampling gradient back into the coarse net — IS
+        # propagated. Do not reuse this path for pose-optimization variants.
         from nerf_and_dietnerf_tpu.ops import raymarch_pallas
 
         comps = (
@@ -287,6 +296,47 @@ def render(
     return RenderResult(rgb, weights, None, None, None), z
 
 
+def _fine_mse(
+    params_fine: Params,
+    config: NeRFConfig,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    z_fine: jnp.ndarray,
+    target_rgb: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fine-pass MSE over the given z samples — the backend-branching part of
+    the training objective, shared by :func:`training_losses` (production) and
+    :func:`training_losses_fixed_z` (parity harness)."""
+    if (
+        config.backend in ("pallas", "pallas_mlp")
+        and config.fuse_fine_loss
+        and config.mesh is None
+    ):
+        # One fused kernel: forward + MSE + full backward, activations
+        # VMEM-resident (saves the backward's forward recompute). The
+        # kernel emits the TOTAL dz; enc gets a structural-zero cotangent.
+        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+
+        points = cameras.sample_points_along_rays(rays_orig, rays_dirs, z_fine)
+        enc_xyz = encoding.encode_xyz(
+            points[..., :3].reshape(-1, 3), config.mlp.n_freq_xyz
+        )
+        enc_dir = None
+        if config.mlp.uses_view_dirs:
+            comps = cameras.view_direction_components(
+                rays_dirs, config.mlp.n_angles
+            )
+            enc_dir = encoding.encode_view_dirs(comps, config.mlp.n_freq_dir)
+        return raymarch_pallas.apply_mlp_loss_composited(
+            params_fine, config.mlp, enc_xyz, enc_dir, z_fine,
+            rays_dirs, target_rgb, config.compute_dtype,
+        )
+    rgb_fine, _ = render_rays_train(
+        params_fine, config, rays_orig, rays_dirs, z_fine
+    )
+    return jnp.mean(jnp.square(target_rgb - rgb_fine))
+
+
 def training_losses(
     params: Params,
     config: NeRFConfig,
@@ -318,42 +368,47 @@ def training_losses(
         )
         if config.stop_fine_z_grad:
             z_fine = jax.lax.stop_gradient(z_fine)
-        if (
-            config.backend in ("pallas", "pallas_mlp")
-            and config.fuse_fine_loss
-            and config.mesh is None
-        ):
-            # One fused kernel: forward + MSE + full backward, activations
-            # VMEM-resident (saves the backward's forward recompute). The
-            # kernel emits the TOTAL dz; enc gets a structural-zero cotangent.
-            from nerf_and_dietnerf_tpu.ops import raymarch_pallas
-
-            points = cameras.sample_points_along_rays(
-                rays_orig, rays_dirs, z_fine
-            )
-            enc_xyz = encoding.encode_xyz(
-                points[..., :3].reshape(-1, 3), config.mlp.n_freq_xyz
-            )
-            enc_dir = None
-            if config.mlp.uses_view_dirs:
-                comps = cameras.view_direction_components(
-                    rays_dirs, config.mlp.n_angles
-                )
-                enc_dir = encoding.encode_view_dirs(comps, config.mlp.n_freq_dir)
-            mse_fine = raymarch_pallas.apply_mlp_loss_composited(
-                params["fine"], config.mlp, enc_xyz, enc_dir, z_fine,
-                rays_dirs, target_rgb, config.compute_dtype,
-            )
-        else:
-            rgb_fine, _ = render_rays_train(
-                params["fine"], config, rays_orig, rays_dirs, z_fine
-            )
-            mse_fine = jnp.mean(jnp.square(target_rgb - rgb_fine))
+        mse_fine = _fine_mse(
+            params["fine"], config, rays_orig, rays_dirs, z_fine, target_rgb
+        )
         loss = loss + mse_fine
         metrics["psnr_fine"] = rendering.psnr_from_mse(mse_fine)
 
     metrics["loss"] = loss
     return loss, metrics
+
+
+def training_losses_fixed_z(
+    params: Params,
+    config: NeRFConfig,
+    rays_orig: jnp.ndarray,
+    rays_dirs: jnp.ndarray,
+    target_rgb: jnp.ndarray,
+    z_coarse: jnp.ndarray,
+    z_fine: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """The training objective with caller-supplied z samples (no RNG and no
+    inverse-CDF resampling inside the differentiated region).
+
+    Exists for the on-chip gradient-parity harness (``tools/parity_tpu.py``):
+    :func:`training_losses` differentiates *through* the hierarchical
+    resampling, whose ``searchsorted`` bin assignment is discontinuous in the
+    coarse weights — a 1-ulp forward difference between two backends can flip
+    resampling bins and make per-leaf gradients diverge O(1) with no kernel
+    bug at all. Pinning both z tensors makes the objective a smooth function
+    of the parameters, so backends are comparable to float tolerance. Runs
+    the identical backend code paths (:func:`render_rays_train` /
+    :func:`_fine_mse`) as production training.
+    """
+    rgb_coarse, _ = render_rays_train(
+        params["coarse"], config, rays_orig, rays_dirs, z_coarse
+    )
+    loss = jnp.mean(jnp.square(target_rgb - rgb_coarse))
+    if params.get("fine") is not None and z_fine is not None:
+        loss = loss + _fine_mse(
+            params["fine"], config, rays_orig, rays_dirs, z_fine, target_rgb
+        )
+    return loss
 
 
 @functools.partial(

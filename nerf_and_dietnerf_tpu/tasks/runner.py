@@ -66,12 +66,17 @@ class Runner:
             }
         )
         # All offline rendering (videos, plots) runs in float32 — bf16
-        # forward costs ~3 dB on rendered frames for ~12% speed.
+        # forward costs ~3 dB on rendered frames for ~12% speed. The backend
+        # is inherited on single-device runs (the fused Pallas kernel supports
+        # f32 and is the measured-fastest render path); mesh runs keep XLA
+        # (render_image is a single-device chunk loop).
         import dataclasses as _dc
         import jax.numpy as _jnp
 
+        render_backend = self.nerf_config.backend if self.mesh is None else "xla"
         self.render_config = _dc.replace(
-            self.nerf_config, compute_dtype=_jnp.float32, backend="xla"
+            self.nerf_config, compute_dtype=_jnp.float32, backend=render_backend,
+            mesh=None, fuse_compositing=False, fuse_fine_loss=False,
         )
         self.save_dir = config_lib.make_save_dir(self.run, self.config_path)
         self.epoch_number = max(self.run.starting_epoch_number, 0)
@@ -139,6 +144,12 @@ class Runner:
 
     def training(self) -> None:
         trainer = self._make_trainer()
+        # Snapshot the held-out test view at training start
+        # (reference src/ExecutionRun.py:177).
+        if jax.process_index() == 0:
+            plots.save_test_image(
+                self.save_dir, self.dataset.images[self.run.test_img_idx]
+            )
         trainer.fit()
         self._params = trainer.state.params
 

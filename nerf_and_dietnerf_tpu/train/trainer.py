@@ -83,9 +83,16 @@ class Trainer:
             )
         # Eval/PSNR renders always run in float32: bf16 forward costs ~3 dB
         # of PSNR on rendered frames (measured) for ~12% render speed — the
-        # wrong trade everywhere except inside the train step.
+        # wrong trade everywhere except inside the train step. The *backend*
+        # is inherited on single-device runs: the fused Pallas kernel supports
+        # f32 and the per-epoch eval renders were ~21% of flagship epoch
+        # wall-clock on the XLA path (runs/256px_alexander_nerf/train.log).
+        # Mesh runs keep XLA — render_image is a single-device chunk loop and
+        # pallas_call has no GSPMD rule for replicated-param dispatch.
+        eval_backend = self.config.backend if mesh is None else "xla"
         self.eval_config = dataclasses.replace(
-            self.config, compute_dtype=jnp.float32, backend="xla"
+            self.config, compute_dtype=jnp.float32, backend=eval_backend,
+            mesh=None, fuse_compositing=False, fuse_fine_loss=False,
         )
         self.optimizer = ts.make_optimizer(run.optimizer_lr)
 

@@ -16,6 +16,22 @@ import numpy as np
 PLOT_ITERATION_DIRNAME = "plot_iteration_images"       # reference src/ExecutionRun.py:42
 SPECIAL_PLOTS_DIRNAME = "special_plots"                # reference src/ExecutionRun.py:44
 EPOCH_PLOT_FORMAT = "train_iteration_plots_{:03d}.jpg"  # reference src/UtilsPlots.py:17
+TEST_IMG_FILENAME = "test_img.jpg"                      # reference src/UtilsPlots.py:16
+
+
+def save_test_image(save_dir, image: np.ndarray) -> Path:
+    """Snapshot of the held-out test view, saved once at training start
+    (reference ``src/ExecutionRun.py:177`` -> ``src/UtilsPlots.py:33-45``)."""
+    plt = _plt()
+    out_dir = Path(save_dir) / PLOT_ITERATION_DIRNAME
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fig = plt.figure()
+    plt.title("Test Image")
+    plt.imshow(np.clip(image, 0, 1))
+    path = out_dir / TEST_IMG_FILENAME
+    fig.savefig(path, dpi=200)
+    plt.close(fig)
+    return path
 
 
 def _plt():

@@ -174,6 +174,47 @@ def test_diet_on_device_epoch_matches_dispatch(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
 
 
+def test_diet_sharded_epoch_matches_single(tmp_path):
+    """The DietNeRF on-device epoch jitted over an 8-virtual-device data mesh
+    must produce the same training result as the single-device epoch (same
+    seeds => same permutation / step keys / diet poses / targets)."""
+    from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
+    from nerf_and_dietnerf_tpu.train.diet_trainer import DietTrainer
+    from nerf_and_dietnerf_tpu.utils.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    h = w = 10
+    images = rng.uniform(size=(3, h, w, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    poses[:, 2, 3] = [2.0, 2.2, 2.4]
+    ds = Dataset(
+        images=images, camera_poses=poses, field_of_view=0.8,
+        near=0.5, far=3.0, average_c2w_before_recenter=np.eye(4), scale=1.0,
+    )
+    run = RunConfig(
+        type_of_model="DietNeRF",
+        hidden_layer_dim=16, last_hidden_layer_dim=8,
+        n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
+        n_render_samples_coarse=4, n_render_samples_fine=4,
+        near_depth_render=0.5, far_depth_render=3.0,
+        n_rays_in_batch_train=40, n_rays_in_batch_render=100,
+        n_epochs=1, test_img_idx=0, idx_train_img_to_plot=1,
+        compute_dtype="float32",
+    )
+    t_single = DietTrainer(run, ds, tmp_path / "single", diet=TINY_DIET)
+    mesh = mesh_lib.make_mesh()
+    assert mesh.size == 8
+    t_mesh = DietTrainer(run, ds, tmp_path / "mesh", mesh=mesh, diet=TINY_DIET)
+    assert t_mesh._supports_on_device_epoch()
+    t_single.fit(log=None)
+    t_mesh.fit(log=None)
+    assert int(t_mesh.state.step) == int(t_single.state.step)
+    for a, b in zip(
+        jax.tree.leaves(t_single.state.params), jax.tree.leaves(t_mesh.state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
 def test_vit_hf_import_semantic_parity(tmp_path):
     """load_pretrained must reproduce HF transformers' ViTModel features
     bit-for-bit-ish: synthesize a tiny HF checkpoint (.safetensors), import

@@ -90,6 +90,8 @@ def test_runner_all_tasks(tmp_path, patched_loader):
     assert (save / "tiny_run.yaml").exists()  # config snapshot
     assert (save / "saved_weights" / "NeRF_model_epoch_001.h5").exists()
     assert (save / plots.PLOT_ITERATION_DIRNAME / "train_iteration_plots_001.jpg").exists()
+    # Test-image snapshot at training start (reference src/ExecutionRun.py:177).
+    assert (save / plots.PLOT_ITERATION_DIRNAME / plots.TEST_IMG_FILENAME).exists()
     vid = save / runner_lib.VIDEOS_DIRNAME
     for name in (
         video.FILENAME_RGB_L_TO_R, video.FILENAME_DEPTH_L_TO_R,

