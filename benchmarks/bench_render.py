@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """Full-frame render benchmark: 256px Alexander-class frame time.
 
-BASELINE.json north-star metric #2. Prints one JSON line per configuration.
+BASELINE.json north-star metric #2. Prints one JSON line per configuration:
+the production render path (fused Pallas kernel, float32 — what eval/videos
+use since r3) against the plain-XLA f32 path it replaced, at two chunk sizes.
+Timing fences on host materialization (remote PJRT block_until_ready can
+return early).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -17,39 +22,43 @@ def main() -> None:
     from nerf_and_dietnerf_tpu.models import nerf
     from nerf_and_dietnerf_tpu.models.nerf import NeRFConfig
 
-    # Production render config: float32 compute (what videos/eval use).
-    config = NeRFConfig(compute_dtype=jnp.float32)
-    params = nerf.init_params(jax.random.PRNGKey(0), config)
+    params = nerf.init_params(
+        jax.random.PRNGKey(0), NeRFConfig(compute_dtype=jnp.float32)
+    )
     h = w = 256
     c2w = jnp.eye(4).at[2, 3].set(3.0)
     fov = 0.69
 
-    for chunk in (16384, 65536):
-        # Warmup/compile. Timing fences on host materialization (remote PJRT
-        # block_until_ready can return early).
-        result, _ = nerf.render_image(
-            params, config, jax.random.PRNGKey(1), c2w, fov, h, w, chunk_size=chunk
-        )
-        float(result.rgb.sum())
-        n = 5
-        t0 = time.perf_counter()
-        for i in range(n):
+    for backend in ("pallas", "xla"):
+        config = NeRFConfig(compute_dtype=jnp.float32, backend=backend)
+        for chunk in (16384, 65536):
             result, _ = nerf.render_image(
-                params, config, jax.random.PRNGKey(i), c2w, fov, h, w, chunk_size=chunk
+                params, config, jax.random.PRNGKey(1), c2w, fov, h, w,
+                chunk_size=chunk, diagnostics=False,
             )
-            float(result.rgb.sum())
-        dt = (time.perf_counter() - t0) / n
-        print(
-            json.dumps(
-                {
-                    "metric": "render_256px_frame_seconds",
-                    "value": round(dt, 4),
-                    "unit": "s/frame",
-                    "chunk_size": chunk,
-                    "rays_per_sec": round(h * w / dt, 1),
-                }
+            float(result.rgb.sum())  # compile + fence
+            n = 5
+            t0 = time.perf_counter()
+            for i in range(n):
+                result, _ = nerf.render_image(
+                    params, config, jax.random.PRNGKey(i), c2w, fov, h, w,
+                    chunk_size=chunk, diagnostics=False,
+                )
+                float(result.rgb.sum())
+            dt = (time.perf_counter() - t0) / n
+            print(
+                json.dumps(
+                    {
+                        "metric": "render_256px_frame_seconds",
+                        "value": round(dt, 4),
+                        "unit": "s/frame",
+                        "backend": backend,
+                        "chunk_size": chunk,
+                        "rays_per_sec": round(h * w / dt, 1),
+                    }
+                ),
+                flush=True,
             )
-        )
 
 
 if __name__ == "__main__":

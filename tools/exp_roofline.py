@@ -95,6 +95,14 @@ def main():
     finally:
         rp._leaky = real_leaky
 
+    # max-form LeakyReLU: for 0 <= alpha < 1, max(x, alpha*x) == leaky(x)
+    # exactly (2 VPU passes instead of cmp+mul+select).
+    rp._leaky = lambda x, a: jnp.maximum(x, a * x)
+    try:
+        run_fwd("fwd_max")
+    finally:
+        rp._leaky = real_leaky
+
     # Matmul-only chain: pure MXU ceiling inside the same kernel scaffold.
     real_tile_fn = rp._forward_tile
 
@@ -152,8 +160,11 @@ def main():
     rp._forward_tile = bf16_tile
     try:
         run_fwd("fwd_bf16out")
+        rp._leaky = lambda x, a: jnp.maximum(x, a * x)
+        run_fwd("fwd_bf16out_max")
     finally:
         rp._forward_tile = real_tile_fn
+        rp._leaky = real_leaky
 
     # Backward kernel.
     def bwd_body(c, k):
@@ -169,6 +180,11 @@ def main():
         return t
 
     run_bwd("bwd")
+    rp._leaky = lambda x, a: jnp.maximum(x, a * x)
+    try:
+        run_bwd("bwd_max")
+    finally:
+        rp._leaky = real_leaky
     for tile in (1024, 4096, 8192):
         old = rp.TILE_ROWS_BWD
         rp.TILE_ROWS_BWD = tile

@@ -12,25 +12,33 @@ fine samples to different z locations and making per-leaf gradients diverge
 O(1) between two backends whose kernels agree perfectly. The committed
 round-2 numbers (max rel grad err 0.94-4.4 with loss err ~2e-4) were exactly
 that chaos, not a kernel bug — confirmed here by the ``bin_agreement``
-diagnostic: the two backends disagree on a small fraction of resampling bins,
-and each flipped bin is an O(1) gradient change for the leaves it touches.
+diagnostic.
 
 This harness instead differentiates ``nerf.training_losses_fixed_z``: the
 same backend code paths as production training (coarse pass via
 ``render_rays_train``, fine pass via ``nerf._fine_mse`` including the fused
-fine-loss kernel variant), but with both z tensors precomputed once (f32 XLA)
-and fed to every backend as constants. The objective is then a smooth
-function of the parameters and backends must agree to float tolerance —
-any excess is a real kernel bug.
+fine-loss kernel variant), but with both z tensors precomputed once and fed
+to every backend as constants. The objective is then a smooth function of
+the parameters and backends are comparable to float tolerance.
 
-Pass criteria
--------------
-- float32: max per-leaf relative grad error (pallas vs xla, both f32)
-  < 1e-3, and relative loss error < 1e-3.
-- bfloat16: both backends are bf16 approximations of the same math, so each
-  is compared against the float32-XLA oracle; pallas passes if its oracle
-  error is at most ``1.5x + 1e-3`` the xla oracle error (and its loss matches
-  xla-bf16 to 1e-2). A direct pallas-bf16 vs xla-bf16 error is also reported.
+Why a HIGHEST-precision oracle
+------------------------------
+On TPU, "f32" matmuls at DEFAULT precision execute as truncated-bf16 MXU
+passes — in *both* XLA and Mosaic, but with different pass/tiling structure,
+so two correct f32-DEFAULT implementations legitimately differ by O(bf16)
+per layer (measured ~7e-2 worst-leaf after the 9-layer backward). Bitwise
+agreement at production precision is not a meaningful target; agreement at
+HIGHEST precision is. Checks:
+
+1. **exactness** — pallas f32 vs xla f32, BOTH under
+   ``jax.default_matmul_precision('highest')`` (6-pass exact f32 on the MXU;
+   Mosaic supports DEFAULT and HIGHEST): must agree to 1e-3 worst-leaf
+   relative. Any excess is a real kernel bug.
+2. **production accuracy** — every backend/dtype at production (DEFAULT)
+   precision is judged against the HIGHEST-precision XLA-f32 oracle: pallas
+   passes if its oracle error is <= 1.5x the same-dtype XLA path's oracle
+   error + 1e-3 (it is as good an approximation of the true gradient as the
+   XLA path it replaces).
 
 Reference gradient contract: /root/reference/src/NeRF.py:136-167.
 Writes PARITY_TPU.json and prints a summary.
@@ -73,8 +81,7 @@ def bin_agreement(cfg_a, cfg_b, params, orig, dirs, z_coarse, n_fine):
 
     def bins(cfg):
         _, w = jax.jit(
-            lambda p: nerf.render_rays_train(p, cfg, orig, dirs, z_coarse),
-            static_argnums=(),
+            lambda p: nerf.render_rays_train(p, cfg, orig, dirs, z_coarse)
         )(params["coarse"])
         w = jnp.asarray(w, jnp.float32)
         pdf = w / (jnp.sum(w, axis=-1, keepdims=True) + sampling.CDF_EPS)
@@ -100,46 +107,72 @@ def main() -> None:
     )
     rgb = jax.random.uniform(k2, (batch, 3))
 
-    cfg_oracle = nerf.NeRFConfig(backend="xla", compute_dtype=jnp.float32)
-    params = nerf.init_params(jax.random.PRNGKey(0), cfg_oracle)
+    cfg_f32_xla = nerf.NeRFConfig(backend="xla", compute_dtype=jnp.float32)
+    params = nerf.init_params(jax.random.PRNGKey(0), cfg_f32_xla)
 
-    # Fixed z tensors, computed ONCE in f32 XLA and shared by every backend:
-    # stratified coarse z + a fine set resampled from the oracle's coarse
-    # weights (outside any differentiated region).
+    # Fixed z tensors, computed ONCE and shared by every backend: stratified
+    # coarse z + a fine set resampled from the oracle's coarse weights
+    # (outside any differentiated region).
     z_coarse = sampling.stratified_z_values(
-        jax.random.PRNGKey(5), cfg_oracle.near, cfg_oracle.far, (batch,), n_coarse
+        jax.random.PRNGKey(5), cfg_f32_xla.near, cfg_f32_xla.far, (batch,), n_coarse
     )
-    _, w_oracle = jax.jit(
-        lambda p: nerf.render_rays_train(p, cfg_oracle, orig, dirs, z_coarse)
-    )(params["coarse"])
+    with jax.default_matmul_precision("highest"):
+        _, w_oracle = jax.jit(
+            lambda p: nerf.render_rays_train(p, cfg_f32_xla, orig, dirs, z_coarse)
+        )(params["coarse"])
     z_fine = sampling.resample_z_from_weights(
         jax.random.PRNGKey(6), jax.lax.stop_gradient(w_oracle), z_coarse, n_fine
     )
     z_coarse, z_fine = jax.device_get((z_coarse, z_fine))
     z_coarse, z_fine = jnp.asarray(z_coarse), jnp.asarray(z_fine)
 
-    def loss_grads(cfg):
-        f = jax.jit(
-            jax.value_and_grad(
-                lambda p: nerf.training_losses_fixed_z(
-                    p, cfg, orig, dirs, rgb, z_coarse, z_fine
-                )
+    def loss_grads(cfg, highest=False):
+        def compute(p):
+            return nerf.training_losses_fixed_z(
+                p, cfg, orig, dirs, rgb, z_coarse, z_fine
             )
-        )
-        loss, grads = f(params)
+
+        if highest:
+            with jax.default_matmul_precision("highest"):
+                loss, grads = jax.jit(jax.value_and_grad(compute))(params)
+        else:
+            loss, grads = jax.jit(jax.value_and_grad(compute))(params)
         return float(loss), jax.device_get(grads)
 
-    loss_oracle, grads_oracle = loss_grads(cfg_oracle)
+    print("computing HIGHEST-precision f32 oracle (XLA)...", flush=True)
+    loss_oracle, grads_oracle = loss_grads(cfg_f32_xla, highest=True)
 
+    results = {}
+    ok = True
+
+    # Check 1: exactness — pallas vs xla, f32, HIGHEST precision.
+    cfg_p32 = dataclasses.replace(cfg_f32_xla, backend="pallas")
+    loss_hp, grads_hp = loss_grads(cfg_p32, highest=True)
+    err_exact = max_rel_err(grads_oracle, grads_hp)
+    rel_loss_exact = abs(loss_hp - loss_oracle) / max(1e-6, abs(loss_oracle))
+    passed = err_exact < 1e-3 and rel_loss_exact < 1e-3
+    ok &= passed
+    results["pallas/float32/highest_precision"] = {
+        "loss_xla_highest": loss_oracle,
+        "loss_kernel_highest": loss_hp,
+        "rel_loss_err": rel_loss_exact,
+        "max_rel_grad_err": err_exact,
+        "criterion": "exact f32: grad err < 1e-3 vs XLA-f32-HIGHEST",
+        "pass": passed,
+    }
+    print(
+        f"{'pallas (HIGHEST, f32)':28s} loss_err={rel_loss_exact:.2e} "
+        f"grad_err={err_exact:.2e} {'PASS' if passed else 'FAIL'}",
+        flush=True,
+    )
+
+    # Check 2: production precision, judged against the oracle.
     variants = (
         ("pallas", {"backend": "pallas"}),
         ("pallas+fuse_fine_loss", {"backend": "pallas", "fuse_fine_loss": True}),
         ("pallas+fuse_compositing", {"backend": "pallas", "fuse_compositing": True}),
         ("pallas_rm", {"backend": "pallas_rm"}),
     )
-
-    results = {}
-    ok = True
     for dtype_name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
         cfg_x = nerf.NeRFConfig(backend="xla", compute_dtype=dtype)
         loss_ref, grads_ref = loss_grads(cfg_x)
@@ -150,19 +183,8 @@ def main() -> None:
             rel_loss = abs(loss_got - loss_ref) / max(1e-6, abs(loss_ref))
             err_vs_xla = max_rel_err(grads_ref, grads_got)
             err_vs_oracle = max_rel_err(grads_oracle, grads_got)
-            if dtype_name == "float32":
-                tol = 1e-3
-                passed = err_vs_xla < tol and rel_loss < tol
-                criterion = f"grad_err_vs_xla < {tol}"
-            else:
-                # Both are bf16 approximations of the f32 oracle; pallas
-                # passes if it is no worse an approximation than xla-bf16.
-                bound = 1.5 * err_xla_oracle + 1e-3
-                passed = err_vs_oracle <= bound and rel_loss < 1e-2
-                criterion = (
-                    f"grad_err_vs_f32_oracle <= 1.5*xla_bf16_err+1e-3 "
-                    f"(= {bound:.3e})"
-                )
+            bound = 1.5 * err_xla_oracle + 1e-3
+            passed = err_vs_oracle <= bound and rel_loss < 1e-2
             ok &= passed
             results[f"{name}/{dtype_name}"] = {
                 "loss_xla": loss_ref,
@@ -171,22 +193,22 @@ def main() -> None:
                 "max_rel_grad_err_vs_xla_same_dtype": err_vs_xla,
                 "max_rel_grad_err_vs_f32_oracle": err_vs_oracle,
                 "xla_same_dtype_err_vs_f32_oracle": err_xla_oracle,
-                "criterion": criterion,
+                "criterion": (
+                    "production precision: grad_err_vs_oracle <= "
+                    f"1.5*xla_err+1e-3 (= {bound:.3e})"
+                ),
                 "pass": passed,
             }
             print(
                 f"{name:24s} {dtype_name:8s} loss_err={rel_loss:.2e} "
-                f"grad_err_vs_xla={err_vs_xla:.2e} "
-                f"grad_err_vs_oracle={err_vs_oracle:.2e} "
-                f"{'PASS' if passed else 'FAIL'}",
+                f"err_vs_xla={err_vs_xla:.2e} err_vs_oracle={err_vs_oracle:.2e} "
+                f"(xla: {err_xla_oracle:.2e}) {'PASS' if passed else 'FAIL'}",
                 flush=True,
             )
 
     # Diagnostic: how chaotic was the round-2 full-pipeline comparison?
     agree_f32 = bin_agreement(
-        cfg_oracle,
-        dataclasses.replace(cfg_oracle, backend="pallas"),
-        params, orig, dirs, z_coarse, n_fine,
+        cfg_f32_xla, cfg_p32, params, orig, dirs, z_coarse, n_fine
     )
     agree_bf16 = bin_agreement(
         nerf.NeRFConfig(backend="xla", compute_dtype=jnp.bfloat16),
@@ -202,15 +224,19 @@ def main() -> None:
 
     out = {
         "methodology": (
-            "fixed-z: both z tensors precomputed in f32 XLA and fed to every "
+            "fixed-z: both z tensors precomputed once and fed to every "
             "backend as constants; objective = nerf.training_losses_fixed_z "
             "(same render_rays_train/_fine_mse code paths as production "
             "training, no resampling discontinuity inside the differentiated "
-            "region). Round-2's all_pass:false differentiated through the "
-            "inverse-CDF resampling, whose searchsorted bins flip under 1-ulp "
-            "forward differences between backends — per-leaf grads then "
-            "diverge O(1) with no kernel bug (losses matched to ~2e-4). The "
-            "bin_agreement diagnostic quantifies that chaos."
+            "region). Exactness is proven at HIGHEST matmul precision (on "
+            "TPU, DEFAULT-precision 'f32' matmuls are truncated-bf16 MXU "
+            "passes whose structure legitimately differs between XLA and "
+            "Mosaic); production-precision paths are judged against the "
+            "HIGHEST-precision XLA-f32 oracle with a 1.5x-of-XLA bound. "
+            "Round-2's all_pass:false differentiated through the inverse-CDF "
+            "resampling, whose searchsorted bins flip under 1-ulp forward "
+            "differences — per-leaf grads then diverge O(1) with no kernel "
+            "bug (losses matched to ~2e-4); bin_agreement quantifies that."
         ),
         "shape": {"rays": batch, "coarse": n_coarse, "fine": n_fine, "hidden": 256},
         "device": str(jax.devices()[0]),
