@@ -106,3 +106,53 @@ def test_merge_sorted_matches_sort():
     np.testing.assert_allclose(
         merged2, np.sort(np.concatenate([a2, b2], -1), -1), atol=0
     )
+
+
+def test_resample_matches_searchsorted_reference():
+    """The single-one-hot gather formulation must match a direct
+    searchsorted+clamped-index reference — including
+    all-zero weight rows, single-bin spikes, and uniforms past cdf[-1]
+    (reference semantics: src/UtilsCV.py:502-539)."""
+    import numpy as np
+
+    from nerf_and_dietnerf_tpu.core import sampling
+
+    rng = np.random.default_rng(0)
+    R, K, N = 23, 16, 31
+    for trial in range(4):
+        w = rng.gamma(0.3, size=(R, K)).astype(np.float32)
+        if trial == 1:
+            w[0] = 0.0                       # all-zero row
+        if trial == 2:
+            w[1] = 0.0
+            w[1, 5] = 3.0                    # single spike
+        z = np.cumsum(
+            rng.uniform(0.01, 0.1, size=(R, K)).astype(np.float32), -1
+        ) + 2.0
+        key = None if trial == 3 else jax.random.PRNGKey(trial)
+        got = np.asarray(
+            sampling.resample_z_from_weights(key, jnp.asarray(w), jnp.asarray(z), N)
+        )
+
+        pdf = w / (w.sum(-1, keepdims=True) + sampling.CDF_EPS)
+        cdf = np.cumsum(pdf, -1)
+        u = np.asarray(sampling.sorted_uniforms(key, (R,), N))
+        z_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+        want = np.empty((R, N), np.float32)
+        for r in range(R):
+            idx = np.searchsorted(cdf[r], u[r], side="left")
+            lo = np.maximum(0, idx - 1)
+            hi = np.minimum(K - 1, idx)
+            cdf_lo, cdf_hi = cdf[r][lo], cdf[r][hi]
+            z_lo = z_mid[r][np.clip(lo, 0, K - 2)]
+            z_hi = z_mid[r][np.clip(hi, 0, K - 2)]
+            denom = np.where(
+                cdf_hi - cdf_lo < sampling.DENOM_CLAMP,
+                sampling.DENOM_CLAMP,
+                cdf_hi - cdf_lo,
+            )
+            want[r] = z_lo + (u[r] - cdf_lo) / denom * (z_hi - z_lo)
+        # atol covers 1-ulp cumsum-order differences between XLA and numpy
+        # flipping a boundary bin; the CDF inverse is continuous there, so
+        # the z difference stays O(1e-5).
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
