@@ -119,42 +119,23 @@ def resample_z_from_weights(key, weights, z_values, n_new: int) -> jnp.ndarray:
     cdf = jnp.cumsum(pdf, axis=-1)
     u = sorted_uniforms(key, weights.shape[:-1], n_new)
 
-    # One shared one-hot for all four gathers, built directly from the CDF
-    # compares (no searchsorted/iota round-trip): with 'left' semantics
-    # idx = #{k : cdf[k] < u}, so  onehot[j, k] = [idx_j == k]
-    #   = [cdfp[k] >= u_j] AND [k == 0 OR cdfp[k-1] < u_j]
-    # over k in [0, n_coarse] with cdfp = [cdf, +inf] (the +inf column covers
-    # u beyond cdf[-1], whose total mass is < 1 by the normalization eps).
-    # The (..., n_new, n_coarse+1) one-hot is materialized ONCE and a single
-    # stacked einsum gathers (cdf_hi, cdf_lo, z_hi, z_lo) — round-2's
-    # formulation built four separate one-hot tensors (~4x the HBM traffic
-    # of the dominant glue op; tools/exp_step.py decomposition).
-    inf = jnp.full((*cdf.shape[:-1], 1), jnp.inf, cdf.dtype)
-    cdfp = jnp.concatenate([cdf, inf], axis=-1)                # (..., K+1)
-    ge = cdfp[..., None, :] >= u[..., :, None]                 # (..., n_new, K+1)
-    lt_prev = jnp.concatenate(
-        [
-            jnp.ones((*u.shape, 1), bool),
-            cdfp[..., None, :-1] < u[..., :, None],
-        ],
-        axis=-1,
-    )
-    onehot = jnp.logical_and(ge, lt_prev).astype(jnp.float32)
+    # searchsorted semantics: first index where cdf[i] >= u (TF default 'left').
+    idx = _batched_searchsorted(cdf, u)
+    lo = jnp.maximum(0, idx - 1)
+    hi = jnp.minimum(n_coarse - 1, idx)
 
-    # Value rows extended to K+1 entries so entry k realizes the reference's
-    # clamped indexing: hi = min(idx, K-1), lo = max(idx-1, 0),
-    # z indices additionally clipped to K-2 (src/UtilsCV.py:512-539).
-    z_mid = 0.5 * (z_values[..., 1:] + z_values[..., :-1])     # (..., K-1)
-    cdf_hi_e = jnp.concatenate([cdf, cdf[..., -1:]], axis=-1)
-    cdf_lo_e = jnp.concatenate([cdf[..., :1], cdf], axis=-1)
-    z_hi_e = jnp.concatenate([z_mid, z_mid[..., -1:], z_mid[..., -1:]], axis=-1)
-    z_lo_e = jnp.concatenate([z_mid[..., :1], z_mid, z_mid[..., -1:]], axis=-1)
-    values = jnp.stack([cdf_hi_e, cdf_lo_e, z_hi_e, z_lo_e], axis=-1)
-    picked = jnp.einsum(
-        "...fc,...cv->...fv", onehot, values,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    cdf_hi, cdf_lo, z_hi, z_lo = (picked[..., i] for i in range(4))
+    grid = jax.lax.broadcasted_iota(jnp.int32, (*idx.shape, n_coarse), idx.ndim)
+    onehot_lo = (grid == lo[..., None]).astype(jnp.float32)
+    onehot_hi = (grid == hi[..., None]).astype(jnp.float32)
+    cdf_lo = _pick(onehot_lo, cdf)
+    cdf_hi = _pick(onehot_hi, cdf)
+
+    z_mid = 0.5 * (z_values[..., 1:] + z_values[..., :-1])  # (..., n_coarse - 1)
+    grid_z = grid[..., : n_coarse - 1]
+    lo_z = jnp.clip(lo, 0, n_coarse - 2)
+    hi_z = jnp.clip(hi, 0, n_coarse - 2)
+    z_lo = _pick((grid_z == lo_z[..., None]).astype(jnp.float32), z_mid)
+    z_hi = _pick((grid_z == hi_z[..., None]).astype(jnp.float32), z_mid)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < DENOM_CLAMP, DENOM_CLAMP, denom)
