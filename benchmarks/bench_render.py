@@ -29,9 +29,12 @@ def main() -> None:
     c2w = jnp.eye(4).at[2, 3].set(3.0)
     fov = 0.69
 
-    for backend in ("pallas", "xla"):
+    # chunk 65536 at f32 OOMs the 16G HBM (merged fine pass = 12.6M rows of
+    # lane-padded encodings, measured 18G); 16384 is the production render
+    # chunk, 32768 probes the amortization headroom.
+    for backend, chunks in (("pallas", (16384, 32768)), ("xla", (16384,))):
         config = NeRFConfig(compute_dtype=jnp.float32, backend=backend)
-        for chunk in (16384, 65536):
+        for chunk in chunks:
             result, _ = nerf.render_image(
                 params, config, jax.random.PRNGKey(1), c2w, fov, h, w,
                 chunk_size=chunk, diagnostics=False,
