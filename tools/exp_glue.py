@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Bisect the ~4.4 ms of XLA forward glue around the fused kernels.
+
+tools/exp_step.py measured training_losses fwd = 11.57 ms vs 7.19 ms of
+kernel forwards at the flagship shape; tools/exp_resample.py puts the
+inverse-CDF resample at 0.74 ms fwd / 0.90 ms fwd+grad. This times the
+remaining pieces, each as its own jitted lax.scan of K iterations:
+
+  gather      batch gather from the permuted HBM ray table (epoch-fn style)
+  strat       stratified z PRNG (4096 x 64)
+  enc_c       point-gen + xyz/view encode, coarse rows (262k)
+  enc_f       point-gen + xyz/view encode, fine rows (524k)
+  comp        alpha-compositing fwd, coarse + fine
+  mse         the two MSEs + psnr metrics
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+K = 20
+
+
+def bench(body, init, n_calls=3):
+    keys = jax.random.split(jax.random.PRNGKey(42), K)
+
+    @jax.jit
+    def run(init, keys):
+        carry, _ = jax.lax.scan(body, init, keys)
+        return carry
+
+    out = run(init, keys)
+    float(jax.tree.leaves(out)[0].sum())
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out = run(init, keys)
+    float(jax.tree.leaves(out)[0].sum())
+    return (time.perf_counter() - t0) / (n_calls * K)
+
+
+def main():
+    from nerf_and_dietnerf_tpu.core import cameras, encoding, rendering, sampling
+    from nerf_and_dietnerf_tpu.models.mlp import MLPConfig
+
+    cfg = MLPConfig()
+    batch, n_c, n_f = 4096, 64, 128
+    near, far = 2.0, 6.0
+
+    n_table = batch * 40
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    t_orig = jnp.zeros((n_table, 4), jnp.float32).at[:, 3].set(1.0)
+    t_dirs = jnp.concatenate(
+        [jax.random.normal(k1, (n_table, 3)), jnp.zeros((n_table, 1))], axis=-1
+    )
+    t_rgb = jax.random.uniform(k2, (n_table, 3))
+    orig, dirs, rgb = t_orig[:batch], t_dirs[:batch], t_rgb[:batch]
+
+    def t_gather():
+        perm = jax.random.permutation(jax.random.PRNGKey(3), n_table)
+
+        def body(c, k):
+            i = (c.astype(jnp.int32) % 40) * batch
+            idx = jax.lax.dynamic_slice_in_dim(perm, i, batch)
+            b = (t_orig[idx], t_dirs[idx], t_rgb[idx])
+            return c + jnp.mean(b[0]) * 0, None
+
+        return bench(body, jnp.float32(0))
+
+    def t_strat():
+        def body(c, k):
+            z = sampling.stratified_z_values(k, near, far, (batch,), n_c)
+            return c + jnp.mean(z) * 0, None
+
+        return bench(body, jnp.float32(0))
+
+    def make_enc(n_s):
+        z0 = sampling.stratified_z_values(None, near, far, (batch,), n_s)
+
+        def body(c, k):
+            z = z0 + c
+            points = cameras.sample_points_along_rays(orig, dirs, z)[..., :3]
+            enc = encoding.encode_xyz(points.reshape(-1, 3), cfg.n_freq_xyz)
+            comps = cameras.view_direction_components(dirs, cfg.n_angles)
+            encd = encoding.encode_view_dirs(comps, cfg.n_freq_dir)
+            encd = jnp.broadcast_to(
+                encd[:, None, :], (batch, n_s, encd.shape[-1])
+            ).reshape(batch * n_s, -1)
+            # cast like the kernel input path
+            return jnp.mean(enc.astype(jnp.bfloat16)) + jnp.mean(
+                encd.astype(jnp.bfloat16)
+            ), None
+
+        return bench(body, jnp.float32(0))
+
+    def t_comp():
+        raw_c = jax.random.normal(jax.random.PRNGKey(5), (batch, n_c, 4))
+        raw_f = jax.random.normal(jax.random.PRNGKey(6), (batch, n_f, 4))
+        z_c = sampling.stratified_z_values(None, near, far, (batch,), n_c)
+        z_f = sampling.stratified_z_values(None, near, far, (batch,), n_f)
+
+        def body(c, k):
+            a = rendering.composite(raw_c + c, z_c)
+            b = rendering.composite(raw_f + c, z_f)
+            return jnp.mean(a.rgb) + jnp.mean(b.weights) + jnp.mean(b.rgb), None
+
+        return bench(body, jnp.float32(0))
+
+    def t_mse():
+        pc = jax.random.uniform(jax.random.PRNGKey(7), (batch, 3))
+        pf = jax.random.uniform(jax.random.PRNGKey(8), (batch, 3))
+
+        def body(c, k):
+            m1 = jnp.mean(jnp.square(rgb - pc - c))
+            m2 = jnp.mean(jnp.square(rgb - pf - c))
+            return m1 + m2 + rendering.psnr_from_mse(m1) * 0, None
+
+        return bench(body, jnp.float32(0))
+
+    for name, fn in (
+        ("gather", t_gather),
+        ("strat", t_strat),
+        ("enc_c", lambda: make_enc(n_c)),
+        ("enc_f", lambda: make_enc(n_f)),
+        ("comp", t_comp),
+        ("mse", t_mse),
+    ):
+        try:
+            print(f"{name:8s} {fn()*1e3:7.3f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
