@@ -20,12 +20,24 @@ import jax.numpy as jnp
 
 
 def _sin_cos_features(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
-    """``(..., D) -> (..., D, 2 * n_freqs)``: [sin f0, cos f0, sin f1, ...]."""
-    freqs = (2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)) * math.pi
-    theta = x[..., None] * freqs  # (..., D, L)
-    return jnp.stack([jnp.sin(theta), jnp.cos(theta)], axis=-1).reshape(
-        *theta.shape[:-1], 2 * n_freqs
-    )
+    """``(..., D) -> (..., D, 2 * n_freqs)``: [sin f0, cos f0, sin f1, ...].
+
+    Computed as sin/cos at the base frequency (pi) followed by double-angle
+    recurrences (``sin 2t = 2 sin t cos t``, ``cos 2t = 1 - 2 sin^2 t``)
+    instead of 2L direct transcendentals. On the TPU VPU this is ~4x cheaper
+    at L=5 (tools/exp_glue.py: 2.15 ms -> 0.48 ms for the 524k-row fine
+    encoding) and *numerically equivalent*: the max abs error vs float64 is
+    2.7e-5 at octave 4 for BOTH formulations, because direct f32 evaluation
+    is itself limited by rounding of the scaled argument ``2^k * pi * x``.
+    """
+    theta0 = x * math.pi
+    sin_k = jnp.sin(theta0)
+    cos_k = jnp.cos(theta0)
+    feats = [sin_k, cos_k]
+    for _ in range(n_freqs - 1):
+        sin_k, cos_k = 2.0 * sin_k * cos_k, 1.0 - 2.0 * sin_k * sin_k
+        feats += [sin_k, cos_k]
+    return jnp.stack(feats, axis=-1)
 
 
 def encode_xyz(xyz: jnp.ndarray, n_freqs: int) -> jnp.ndarray:

@@ -89,9 +89,10 @@ def main():
                 encd[:, None, :], (batch, n_s, encd.shape[-1])
             ).reshape(batch * n_s, -1)
             # cast like the kernel input path
-            return jnp.mean(enc.astype(jnp.bfloat16)) + jnp.mean(
+            s = jnp.mean(enc.astype(jnp.bfloat16)) + jnp.mean(
                 encd.astype(jnp.bfloat16)
-            ), None
+            )
+            return s.astype(jnp.float32), None
 
         return bench(body, jnp.float32(0))
 
@@ -108,6 +109,107 @@ def main():
 
         return bench(body, jnp.float32(0))
 
+    def make_enc_variant(kind, n_s=n_f):
+        """Bisect the encoding cost: transcendentals vs layout vs broadcast."""
+        import math
+
+        z0 = sampling.stratified_z_values(None, near, far, (batch,), n_s)
+        freqs = (2.0 ** jnp.arange(cfg.n_freq_xyz, dtype=jnp.float32)) * math.pi
+
+        def body(c, k):
+            z = z0 + c
+            points = cameras.sample_points_along_rays(orig, dirs, z)[..., :3]
+            pts = points.reshape(-1, 3)
+            theta = pts[..., None] * freqs  # (N, 3, L)
+            if kind == "sin_only":
+                s = jnp.sum(jnp.sin(theta).astype(jnp.bfloat16))
+            elif kind == "sincos_only":
+                s = jnp.sum(jnp.sin(theta).astype(jnp.bfloat16)) + jnp.sum(
+                    jnp.cos(theta).astype(jnp.bfloat16)
+                )
+            elif kind == "layout_only":
+                # the full stack/interleave/concat path with transcendentals
+                # replaced by cheap ops
+                sin_t, cos_t = theta * 0.5, theta * 0.25 + 1.0
+                sc = jnp.stack([sin_t, cos_t], axis=-1).reshape(
+                    *theta.shape[:-1], 2 * cfg.n_freq_xyz
+                )
+                per_coord = jnp.concatenate([pts[..., None], sc], axis=-1)
+                enc = per_coord.reshape(pts.shape[0], -1)
+                s = jnp.sum(enc.astype(jnp.bfloat16))
+            elif kind == "recurrence":
+                # sin/cos at base frequency + double-angle recurrence
+                t0 = pts * math.pi
+                sin_l = [jnp.sin(t0)]
+                cos_l = [jnp.cos(t0)]
+                for _ in range(cfg.n_freq_xyz - 1):
+                    s_p, c_p = sin_l[-1], cos_l[-1]
+                    sin_l.append(2.0 * s_p * c_p)
+                    cos_l.append(1.0 - 2.0 * s_p * s_p)
+                sc = jnp.stack(
+                    [f for pair in zip(sin_l, cos_l) for f in pair], axis=-1
+                )  # (N, 3, 2L)
+                per_coord = jnp.concatenate([pts[..., None], sc], axis=-1)
+                enc = per_coord.reshape(pts.shape[0], -1)
+                s = jnp.sum(enc.astype(jnp.bfloat16))
+            elif kind == "xyz_only":
+                enc = encoding.encode_xyz(pts, cfg.n_freq_xyz)
+                s = jnp.sum(enc.astype(jnp.bfloat16))
+            elif kind == "points_only":
+                s = jnp.sum(pts.astype(jnp.bfloat16))
+            return (s.astype(jnp.float32) * 0 + c + 1e-6), None
+
+        return bench(body, jnp.float32(0))
+
+    def make_comp_variant(kind):
+        """Bisect composite(): which piece of the 3.5 ms is the cumprod?"""
+        raw_c = jax.random.normal(jax.random.PRNGKey(5), (batch, n_c, 4))
+        raw_f = jax.random.normal(jax.random.PRNGKey(6), (batch, n_f, 4))
+        z_c = sampling.stratified_z_values(None, near, far, (batch,), n_c)
+        z_f = sampling.stratified_z_values(None, near, far, (batch,), n_f)
+
+        def comp_one(raw, z, c):
+            raw = raw + c
+            sigma = jnp.maximum(raw[..., 3], 0.0)
+            sample_rgb = rendering.jax_sigmoid(raw[..., :3])
+            delta = jnp.diff(z, axis=-1)
+            delta = jnp.concatenate(
+                [delta, jnp.full((*delta.shape[:-1], 1), 1e9, delta.dtype)],
+                axis=-1,
+            )
+            sd = sigma * delta
+            if kind == "cumprod":  # production formulation
+                alpha = 1.0 - jnp.exp(-sd)
+                t = rendering.exclusive_cumprod(1.0 - alpha)
+            elif kind == "nocum":  # everything except the scan
+                alpha = 1.0 - jnp.exp(-sd)
+                t = 1.0 - alpha
+            elif kind == "expsum":  # T = exp(-exclusive_cumsum(sigma*delta))
+                alpha = 1.0 - jnp.exp(-sd)
+                csum = jnp.cumsum(sd[..., :-1], axis=-1)
+                csum = jnp.concatenate(
+                    [jnp.zeros((*sd.shape[:-1], 1), sd.dtype), csum], axis=-1
+                )
+                t = jnp.exp(-csum)
+            elif kind == "matsum":  # exclusive cumsum as a triangular matmul
+                alpha = 1.0 - jnp.exp(-sd)
+                n_s = sd.shape[-1]
+                tri = jnp.tril(jnp.ones((n_s, n_s), jnp.float32), k=-1)
+                csum = jax.lax.dot_general(
+                    sd, tri, (((sd.ndim - 1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                t = jnp.exp(-csum)
+            w = alpha * t
+            return jnp.sum(w[..., None] * sample_rgb, axis=-2), w
+
+        def body(c, k):
+            a_rgb, _ = comp_one(raw_c, z_c, c)
+            b_rgb, b_w = comp_one(raw_f, z_f, c)
+            return jnp.mean(a_rgb) + jnp.mean(b_w) + jnp.mean(b_rgb), None
+
+        return bench(body, jnp.float32(0))
+
     def t_mse():
         pc = jax.random.uniform(jax.random.PRNGKey(7), (batch, 3))
         pf = jax.random.uniform(jax.random.PRNGKey(8), (batch, 3))
@@ -119,16 +221,33 @@ def main():
 
         return bench(body, jnp.float32(0))
 
+    def t_floor():
+        def body(c, k):
+            return c + 1e-6, None
+
+        return bench(body, jnp.float32(0))
+
     for name, fn in (
+        ("floor", t_floor),
         ("gather", t_gather),
         ("strat", t_strat),
         ("enc_c", lambda: make_enc(n_c)),
         ("enc_f", lambda: make_enc(n_f)),
+        ("enc_f/points", lambda: make_enc_variant("points_only")),
+        ("enc_f/sin", lambda: make_enc_variant("sin_only")),
+        ("enc_f/sincos", lambda: make_enc_variant("sincos_only")),
+        ("enc_f/layout", lambda: make_enc_variant("layout_only")),
+        ("enc_f/recur", lambda: make_enc_variant("recurrence")),
+        ("enc_f/xyz", lambda: make_enc_variant("xyz_only")),
         ("comp", t_comp),
+        ("comp/cumprod", lambda: make_comp_variant("cumprod")),
+        ("comp/nocum", lambda: make_comp_variant("nocum")),
+        ("comp/expsum", lambda: make_comp_variant("expsum")),
+        ("comp/matsum", lambda: make_comp_variant("matsum")),
         ("mse", t_mse),
     ):
         try:
-            print(f"{name:8s} {fn()*1e3:7.3f} ms", flush=True)
+            print(f"{name:14s} {fn()*1e3:7.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED {str(e)[:120]}", flush=True)
 
