@@ -16,6 +16,7 @@ remaining pieces, each as its own jitted lax.scan of K iterations:
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -221,6 +222,56 @@ def main():
 
         return bench(body, jnp.float32(0))
 
+    def make_comp_grad(kind):
+        """fwd+grad cost of the compositing block (the cumprod VJP is the
+        suspect: XLA lowers it as another scan + divide)."""
+        raw_c = jax.random.normal(jax.random.PRNGKey(5), (batch, n_c, 4))
+        raw_f = jax.random.normal(jax.random.PRNGKey(6), (batch, n_f, 4))
+        z_c = sampling.stratified_z_values(None, near, far, (batch,), n_c)
+        z_f = sampling.stratified_z_values(None, near, far, (batch,), n_f)
+
+        def comp_one(raw, z):
+            sigma = jnp.maximum(raw[..., 3], 0.0)
+            sample_rgb = rendering.jax_sigmoid(raw[..., :3])
+            delta = jnp.diff(z, axis=-1)
+            delta = jnp.concatenate(
+                [delta, jnp.full((*delta.shape[:-1], 1), 1e9, delta.dtype)],
+                axis=-1,
+            )
+            sd = sigma * delta
+            alpha = 1.0 - jnp.exp(-sd)
+            if kind == "cumprod":
+                t = rendering.exclusive_cumprod(1.0 - alpha)
+            elif kind == "expsum":
+                csum = jnp.cumsum(sd[..., :-1], axis=-1)
+                csum = jnp.concatenate(
+                    [jnp.zeros((*sd.shape[:-1], 1), sd.dtype), csum], axis=-1
+                )
+                t = jnp.exp(-csum)
+            elif kind == "matsum":
+                n_s = sd.shape[-1]
+                tri = jnp.tril(jnp.ones((n_s, n_s), jnp.float32), k=-1)
+                csum = jax.lax.dot_general(
+                    sd, tri, (((sd.ndim - 1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                t = jnp.exp(-csum)
+            w = alpha * t
+            return jnp.sum(w[..., None] * sample_rgb, axis=-2)
+
+        def loss(rc, rf, c):
+            a = comp_one(rc + c, z_c)
+            b = comp_one(rf + c, z_f)
+            return jnp.mean(jnp.square(a - rgb)) + jnp.mean(jnp.square(b - rgb))
+
+        g = jax.grad(loss, argnums=(0, 1))
+
+        def body(c, k):
+            ga, gb = g(raw_c, raw_f, c)
+            return c + jnp.mean(ga) * 0 + jnp.mean(gb) * 0, None
+
+        return bench(body, jnp.float32(0))
+
     def t_floor():
         def body(c, k):
             return c + 1e-6, None
@@ -245,7 +296,12 @@ def main():
         ("comp/expsum", lambda: make_comp_variant("expsum")),
         ("comp/matsum", lambda: make_comp_variant("matsum")),
         ("mse", t_mse),
+        ("compgrad/cumprod", lambda: make_comp_grad("cumprod")),
+        ("compgrad/expsum", lambda: make_comp_grad("expsum")),
+        ("compgrad/matsum", lambda: make_comp_grad("matsum")),
     ):
+        if len(sys.argv) > 1 and not any(a in name for a in sys.argv[1:]):
+            continue
         try:
             print(f"{name:14s} {fn()*1e3:7.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
