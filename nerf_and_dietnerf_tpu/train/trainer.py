@@ -119,6 +119,7 @@ class Trainer:
         self._epoch_fn = None
         self._device_tables = None
         self.ckpt = checkpoint.CheckpointManager(self.save_dir / "orbax")
+        self._eval_render_cache = None
         self.psnrs_test: List[float] = []
         self.psnrs_train: List[float] = []
         if self.start_epoch > 0:
@@ -253,25 +254,25 @@ class Trainer:
         from nerf_and_dietnerf_tpu.core import rendering
 
         ds = self.dataset
-        key = jax.random.PRNGKey(10_000 + epoch)
+        renders = self.render_eval_images(epoch)
         out = []
-        for idx in (self.run.idx_train_img_to_plot, self.run.test_img_idx):
-            result, _ = nerf.render_image(
-                self.state.params,
-                self.eval_config,
-                key,
-                ds.camera_poses[idx],
-                ds.field_of_view,
-                ds.height,
-                ds.width,
-                chunk_size=self.run.n_rays_in_batch_render,
-                diagnostics=False,
+        for name in ("train", "test"):
+            idx, rgb = renders[name]
+            out.append(
+                float(rendering.psnr(jnp.asarray(ds.images[idx]), jnp.asarray(rgb)))
             )
-            out.append(float(rendering.psnr(jnp.asarray(ds.images[idx]), result.rgb)))
         return out[0], out[1]
 
     def render_eval_images(self, epoch: int):
-        """The two full-frame renders used by the per-epoch plot."""
+        """The two full-frame renders used for the per-epoch PSNRs AND the
+        per-epoch plot. Memoized per epoch: the task runner's epoch callback
+        re-requests the same (params, key) renders right after
+        ``train_epoch`` computed the PSNRs — without the cache every epoch
+        would render all frames twice (a measured ~2x eval tax)."""
+        if self._eval_render_cache is not None and (
+            self._eval_render_cache[0] == epoch
+        ):
+            return self._eval_render_cache[1]
         ds = self.dataset
         key = jax.random.PRNGKey(10_000 + epoch)
         renders = {}
@@ -286,6 +287,7 @@ class Trainer:
                 diagnostics=False,
             )
             renders[name] = (idx, np.asarray(result.rgb))
+        self._eval_render_cache = (epoch, renders)
         return renders
 
     def save_epoch_artifacts(self, epoch: int) -> None:

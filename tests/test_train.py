@@ -211,3 +211,52 @@ def test_trainer_uses_loader_rescaled_bounds(tmp_path):
     assert trainer.config.near == 0.7
     assert trainer.config.far == 2.9
     assert trainer.eval_config.near == 0.7
+
+
+def test_epoch_eval_renders_once_per_frame(tmp_path, monkeypatch):
+    """The per-epoch PSNRs and the per-epoch plot must share ONE set of
+    full-frame renders: `_eval_psnrs` and the runner's `render_eval_images`
+    call hit the same memoized renders (without the cache every epoch paid a
+    measured ~2x eval-render tax)."""
+    from nerf_and_dietnerf_tpu.data.loaders import Dataset
+    from nerf_and_dietnerf_tpu.train import trainer as trainer_mod
+    from nerf_and_dietnerf_tpu.train.trainer import Trainer
+    from nerf_and_dietnerf_tpu.utils.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    h = w = 10
+    images = rng.uniform(size=(2, h, w, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    poses[:, 2, 3] = [2.0, 2.3]
+    ds = Dataset(
+        images=images, camera_poses=poses, field_of_view=0.8,
+        near=0.5, far=3.0, average_c2w_before_recenter=np.eye(4), scale=1.0,
+    )
+    run = RunConfig(
+        hidden_layer_dim=16, last_hidden_layer_dim=8,
+        n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
+        n_render_samples_coarse=4, n_render_samples_fine=4,
+        near_depth_render=0.5, far_depth_render=3.0,
+        n_rays_in_batch_train=50, n_rays_in_batch_render=100,
+        n_epochs=1, test_img_idx=0, idx_train_img_to_plot=1,
+        compute_dtype="float32",
+    )
+
+    calls = {"n": 0}
+    real_render_image = trainer_mod.nerf.render_image
+
+    def counting_render_image(*args, **kwargs):
+        calls["n"] += 1
+        return real_render_image(*args, **kwargs)
+
+    monkeypatch.setattr(trainer_mod.nerf, "render_image", counting_render_image)
+
+    def callback(tr, stats):
+        # the task runner re-requests the same epoch's renders for the plot
+        renders = tr.render_eval_images(stats.epoch)
+        assert set(renders) == {"train", "test"}
+
+    trainer = Trainer(run, ds, tmp_path, epoch_callback=callback)
+    trainer.fit(log=None)
+    # 2 frames (train + test) rendered exactly once for PSNRs AND the plot
+    assert calls["n"] == 2
