@@ -8,11 +8,19 @@ devices share one CPU's cores, so N-fold "weak scaling" just measures core
 contention (measured 0.13 "efficiency" at 8 virtual devices — silicon
 contention, not program overhead).
 
-What the virtual mesh CAN measure is **sharding overhead**: the same global
-batch stepped (a) unsharded on one device and (b) sharded over all N devices
-with replicated-gradient psum. Same total FLOPs on the same silicon — any
-slowdown is partitioning/collective overhead added by the sharded program.
-A ratio ~1.0 means GSPMD inserts no serialization bottleneck.
+What the virtual mesh CAN measure is **absence of serialization**: the same
+global batch stepped unsharded and sharded over N in {2, 4, 8} virtual
+devices with replicated-gradient psum. Same total FLOPs on the same silicon —
+if the partitioned program serialized anywhere (a bad collective schedule, a
+replicated recompute), step time would GROW with N. It does not (the series
+is flat-to-decreasing).
+
+Why sharded can come out FASTER than unsharded here (round-3's confusing
+0.643): all virtual devices share one host CPU with one XLA intra-op thread
+pool. The unsharded program's ops often can't use every core, while N
+partitioned per-shard programs execute concurrently and saturate the pool —
+so the ratio mixes thread-pool utilization with partitioning overhead and is
+reported only as evidence of non-serialization, never as efficiency.
 
 For the real-pod number this prints an **analytic ICI model** from measured
 quantities: per-step gradient all-reduce bytes (the only cross-chip traffic;
@@ -87,25 +95,32 @@ def main() -> None:
         float(m["loss"])
         return (time.perf_counter() - t0) / iters
 
-    t1 = time_step(1)
-    tn = time_step(n_dev)
-    overhead = tn / t1
-    print(
-        json.dumps(
-            {
-                "metric": "dp_sharding_overhead_virtual_mesh",
-                "value": round(overhead, 3),
-                "unit": f"t_sharded/t_single, same {global_batch}-ray global batch, "
-                        f"{n_dev} virtual CPU devices",
-                "note": (
-                    "~1.0 => the sharded program adds no serialization; NOT a "
-                    "hardware efficiency number (virtual devices share one CPU)"
-                ),
-                "s_per_step_single": round(t1, 5),
-                "s_per_step_sharded": round(tn, 5),
-            }
+    series = {}
+    ns = [1] + [n for n in (2, 4, 8) if n <= n_dev]
+    for n in ns:
+        series[n] = time_step(n)
+    t1 = series[1]
+    for n in ns:
+        print(
+            json.dumps(
+                {
+                    "metric": "same_batch_step_time_virtual_mesh",
+                    "devices": n,
+                    "value": round(series[n], 5),
+                    "unit": f"s/step, same {global_batch}-ray global batch "
+                            f"sharded over N virtual CPU devices",
+                    "ratio_vs_unsharded": round(series[n] / t1, 3),
+                    "note": (
+                        "NOT a hardware number: virtual devices share one "
+                        "CPU + one XLA thread pool, so N concurrent shard "
+                        "programs can beat one under-parallelized unsharded "
+                        "program (ratio < 1). The series only shows the "
+                        "partitioned program adds no serialization (time "
+                        "does not grow with N)."
+                    ),
+                }
+            )
         )
-    )
 
     # Analytic ICI model for the real-pod efficiency (flagship shape).
     flagship = nerf.NeRFConfig()
@@ -113,7 +128,7 @@ def main() -> None:
     grad_bytes = sum(
         leaf.size * 4 for leaf in jax.tree.leaves(params)
     )  # f32 gradient all-reduce payload per step
-    step_s = 0.0284  # committed single-chip step time (BENCH_r02, 28.4 ms)
+    step_s = 0.0248  # committed single-chip step time (BENCH_r03: 165,414 rays/s @ 4096 rays = 24.8 ms)
     ici_bytes_per_s = 186e9  # v5e ICI per-link bidirectional
     for n in (2, 4, 8, 16, 64, 256):
         ring_bytes = 2 * (n - 1) / n * grad_bytes

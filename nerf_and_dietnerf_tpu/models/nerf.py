@@ -82,7 +82,7 @@ class NeRFConfig:
     fuse_compositing: bool = False
     # Fine-pass training objective as ONE fused kernel (forward + MSE +
     # full backward with VMEM-resident activations — no recompute, total dz
-    # emitted in-kernel; ``ops/raymarch_pallas.apply_mlp_loss_composited``).
+    # emitted in-kernel; ``ops/research_kernels.apply_mlp_loss_composited``).
     # Only consulted by the pallas backends on single-chip runs (mesh runs
     # fall back to the split path).
     fuse_fine_loss: bool = False
@@ -141,11 +141,11 @@ def render_rays(
     if config.backend == "pallas_rm":
         # Fully fused path: point-gen + positional encoding happen inside the
         # kernel from per-ray data (~4 MB/step vs ~805 MB of lane-padded
-        # per-sample encodings), see ops/raymarch_pallas.apply_raymarch_fused.
+        # per-sample encodings), see ops/research_kernels.apply_raymarch_fused.
         # NOTE: its VJP drops ray-input cotangents (rays_orig / rays_dirs /
         # view comps get structural zeros; dparams and dz are real) — fine for
         # training/rendering where rays are data, unusable for pose gradients.
-        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+        from nerf_and_dietnerf_tpu.ops import research_kernels
 
         comps = (
             cameras.view_direction_components(rays_dirs, config.mlp.n_angles)
@@ -153,12 +153,12 @@ def render_rays(
             else None
         )
         if config.mesh is not None:
-            raw = raymarch_pallas.apply_raymarch_fused_sharded(
+            raw = research_kernels.apply_raymarch_fused_sharded(
                 mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
                 config.compute_dtype, mesh=config.mesh, axis=config.mesh_axis,
             )
         else:
-            raw = raymarch_pallas.apply_raymarch_fused(
+            raw = research_kernels.apply_raymarch_fused(
                 mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
                 config.compute_dtype,
             )
@@ -194,7 +194,7 @@ def render_rays_train(
     ``src/NeRF.py:151``) and the coarse weights (hierarchical resampling,
     ``src/NeRF.py:155``) — none of the diagnostic intermediates. On the
     pallas backend this runs the fully fused ray-march + compositing kernel
-    (``ops/raymarch_pallas.apply_raymarch_composited``), so the raw
+    (``ops/research_kernels.apply_raymarch_composited``), so the raw
     ``(rays * samples, 4)`` radiance never touches HBM and the compositing
     VJP runs in-kernel.
     """
@@ -205,7 +205,7 @@ def render_rays_train(
         # the ray tensors (they are input data), and the z cotangent — which
         # carries the fine-resampling gradient back into the coarse net — IS
         # propagated. Do not reuse this path for pose-optimization variants.
-        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+        from nerf_and_dietnerf_tpu.ops import research_kernels
 
         comps = (
             cameras.view_direction_components(rays_dirs, config.mlp.n_angles)
@@ -213,11 +213,11 @@ def render_rays_train(
             else None
         )
         if config.mesh is not None:
-            return raymarch_pallas.apply_raymarch_composited_sharded(
+            return research_kernels.apply_raymarch_composited_sharded(
                 mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
                 config.compute_dtype, mesh=config.mesh, axis=config.mesh_axis,
             )
-        return raymarch_pallas.apply_raymarch_composited(
+        return research_kernels.apply_raymarch_composited(
             mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
             config.compute_dtype,
         )
@@ -225,7 +225,7 @@ def render_rays_train(
         # Production fast path: XLA computes the packed encodings (per-sample
         # xyz in ray-major row order; view-dirs PER-RAY — never broadcast to
         # samples in HBM), the kernel fuses MLP + compositing + their VJPs.
-        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+        from nerf_and_dietnerf_tpu.ops import research_kernels
 
         points = cameras.sample_points_along_rays(rays_orig, rays_dirs, z_values)
         enc_xyz = encoding.encode_xyz(
@@ -236,11 +236,11 @@ def render_rays_train(
             comps = cameras.view_direction_components(rays_dirs, config.mlp.n_angles)
             enc_dir = encoding.encode_view_dirs(comps, config.mlp.n_freq_dir)
         if config.mesh is not None:
-            return raymarch_pallas.apply_mlp_composited_sharded(
+            return research_kernels.apply_mlp_composited_sharded(
                 mlp_params, config.mlp, enc_xyz, enc_dir, z_values,
                 config.compute_dtype, mesh=config.mesh, axis=config.mesh_axis,
             )
-        return raymarch_pallas.apply_mlp_composited(
+        return research_kernels.apply_mlp_composited(
             mlp_params, config.mlp, enc_xyz, enc_dir, z_values,
             config.compute_dtype,
         )
@@ -315,7 +315,7 @@ def _fine_mse(
         # One fused kernel: forward + MSE + full backward, activations
         # VMEM-resident (saves the backward's forward recompute). The
         # kernel emits the TOTAL dz; enc gets a structural-zero cotangent.
-        from nerf_and_dietnerf_tpu.ops import raymarch_pallas
+        from nerf_and_dietnerf_tpu.ops import research_kernels
 
         points = cameras.sample_points_along_rays(rays_orig, rays_dirs, z_fine)
         enc_xyz = encoding.encode_xyz(
@@ -327,7 +327,7 @@ def _fine_mse(
                 rays_dirs, config.mlp.n_angles
             )
             enc_dir = encoding.encode_view_dirs(comps, config.mlp.n_freq_dir)
-        return raymarch_pallas.apply_mlp_loss_composited(
+        return research_kernels.apply_mlp_loss_composited(
             params_fine, config.mlp, enc_xyz, enc_dir, z_fine,
             rays_dirs, target_rgb, config.compute_dtype,
         )

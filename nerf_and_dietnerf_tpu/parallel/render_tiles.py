@@ -1,16 +1,31 @@
 """Tile-sharded full-frame rendering: one frame's rays split across chips.
 
 The reference renders frames through a host-side python chunk loop on one GPU
-(``src/NeRF.py:211-218``). Multi-chip eval here shards the ray axis of the
-whole frame over the mesh's ``data`` axis inside a single jitted call — each
-chip renders its contiguous slice of pixels, XLA gathers the replicated
-output; the host reshapes to (h, w). For N chips this is the "eval/render
-tile parallelism" component of SURVEY §2b.
+(``src/NeRF.py:211-218``). Multi-chip eval here shards the ray axis of every
+chunk over the mesh's ``data`` axis inside a single jitted call — each chip
+renders its contiguous slice of pixels and the host reassembles the frame.
+For N chips this is the "eval/render tile parallelism" component of SURVEY
+§2b, and it is the production eval/video render path on mesh runs
+(``train/trainer.py`` / ``tasks/runner.py`` route here when a mesh exists).
+
+Backend routing: on the pallas backends the kernel has no GSPMD partitioning
+rule, so the config is rewritten to carry the mesh and ``models/nerf`` routes
+the MLP through the shard_mapped fused kernel
+(``ops/raymarch_pallas.apply_mlp_fused_sharded``) — the same fast path the
+sharded train step uses. Plain-XLA configs just inherit the input sharding
+and let GSPMD partition the whole render.
+
+RNG contract: chunking, padding, and key-splitting mirror
+``models/nerf.render_image`` exactly, so a sharded render with the same key
+and the same effective chunk size is *pixel-identical* to the single-device
+render (asserted by ``tests/test_parallel_render.py``). The only deviation:
+the chunk size is rounded up to a multiple of ``mesh.size`` so every chip
+gets an equal tile.
 """
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -18,27 +33,14 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from nerf_and_dietnerf_tpu.core import cameras
+from nerf_and_dietnerf_tpu.core.rendering import RenderResult
 from nerf_and_dietnerf_tpu.models import nerf
 from nerf_and_dietnerf_tpu.models.nerf import NeRFConfig
 from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
 
 
-def _pad_to_multiple(a: jnp.ndarray, multiple: int) -> jnp.ndarray:
-    pad = (-a.shape[0]) % multiple
-    if pad:
-        a = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad, *a.shape[1:]))], axis=0)
-    return a
-
-
-@functools.partial(
-    jax.jit, static_argnames=("config", "n_samples_coarse", "n_samples_fine")
-)
-def _render_rays_jit(params, config, key, orig, dirs, n_samples_coarse, n_samples_fine):
-    result, z = nerf.render(
-        params, config, key, orig, dirs, n_samples_coarse, n_samples_fine,
-        diagnostics=False,
-    )
-    return result.rgb, (result.weights * z).sum(axis=-1)
+def _round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
 
 
 def render_image_sharded(
@@ -50,29 +52,98 @@ def render_image_sharded(
     field_of_view,
     height: int,
     width: int,
+    chunk_size: int = 16384,
     n_samples_coarse: Optional[int] = None,
     n_samples_fine: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Render a full frame with the ray axis sharded over the mesh.
+    diagnostics: bool = True,
+) -> Tuple[RenderResult, jnp.ndarray]:
+    """Full-frame render with each chunk's ray axis sharded over ``mesh``.
 
-    :return: ``(rgb (h, w, 3), depth (h, w))`` — depth is the expected
-        termination depth used by the depth videos.
+    Drop-in replacement for :func:`models.nerf.render_image` on mesh runs:
+    same signature (plus ``mesh``), same ``(RenderResult (h, w, ...),
+    z (h, w, S))`` return, same chunk/key schedule.
+
+    :param chunk_size: rays per jitted call **across the whole mesh** (each
+        chip renders ``chunk/mesh.size`` rays), rounded up to a multiple of
+        ``mesh.size``.
     """
+    if config.backend in ("pallas", "pallas_mlp", "pallas_rm") and config.mesh is None:
+        # pallas_call has no GSPMD rule: carry the mesh so models/nerf routes
+        # the MLP through the shard_mapped fused kernel.
+        config = dataclasses.replace(
+            config, mesh=mesh, mesh_axis=mesh_lib.DATA_AXIS
+        )
+
     orig, dirs = cameras.rays_for_image(height, width, field_of_view, c2w)
     n_rays = orig.shape[0]
-    orig = _pad_to_multiple(orig, mesh.size)
-    dirs = _pad_to_multiple(dirs, mesh.size)
+    chunk = _round_up(min(chunk_size, n_rays), mesh.size)
+    n_chunks = -(-n_rays // chunk)
+    pad = n_chunks * chunk - n_rays
+    if pad:
+        orig = jnp.concatenate([orig, jnp.broadcast_to(orig[-1:], (pad, 4))], axis=0)
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[-1:], (pad, 4))], axis=0)
 
     data = mesh_lib.batch_sharding(mesh)
     repl = mesh_lib.replicated(mesh)
-    orig, dirs = jax.device_put(orig, data), jax.device_put(dirs, data)
     params = jax.device_put(params, repl)
 
-    rgb, depth = _render_rays_jit(
-        params, config, key, orig, dirs,
-        n_samples_coarse or config.n_samples_coarse,
-        n_samples_fine or config.n_samples_fine,
+    keys = [None] * n_chunks if key is None else jax.random.split(key, n_chunks)
+    parts = []
+    for i in range(n_chunks):
+        o = jax.device_put(orig[i * chunk:(i + 1) * chunk], data)
+        d = jax.device_put(dirs[i * chunk:(i + 1) * chunk], data)
+        parts.append(
+            nerf._render_chunk(
+                params, config, keys[i], o, d,
+                n_samples_coarse, n_samples_fine, diagnostics,
+            )
+        )
+    results = [p[0] for p in parts]
+    zs = [p[1] for p in parts]
+    merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:n_rays], *results)
+    z = jnp.concatenate(zs, axis=0)[:n_rays]
+    return (
+        RenderResult(
+            rgb=merged.rgb.reshape(height, width, 3),
+            weights=merged.weights.reshape(height, width, -1),
+            cumprod=None if merged.cumprod is None
+            else merged.cumprod.reshape(height, width, -1),
+            alpha=None if merged.alpha is None
+            else merged.alpha.reshape(height, width, -1),
+            sample_rgb=None if merged.sample_rgb is None
+            else merged.sample_rgb.reshape(
+                height, width, merged.sample_rgb.shape[-2], 3
+            ),
+        ),
+        z.reshape(height, width, -1),
     )
-    rgb = rgb[:n_rays].reshape(height, width, 3)
-    depth = depth[:n_rays].reshape(height, width)
-    return rgb, depth
+
+
+def render_frame(
+    params,
+    config: NeRFConfig,
+    mesh: Optional[Mesh],
+    key,
+    c2w,
+    field_of_view,
+    height: int,
+    width: int,
+    chunk_size: int = 16384,
+    n_samples_coarse: Optional[int] = None,
+    n_samples_fine: Optional[int] = None,
+    diagnostics: bool = True,
+) -> Tuple[RenderResult, jnp.ndarray]:
+    """Mesh-aware frame render: tile-sharded over ``mesh`` when one exists,
+    the single-device chunk loop otherwise. The single routing point for all
+    offline/eval renders (per-epoch PSNRs, videos, special plots)."""
+    if mesh is not None and mesh.size > 1:
+        return render_image_sharded(
+            params, config, mesh, key, c2w, field_of_view, height, width,
+            chunk_size=chunk_size, n_samples_coarse=n_samples_coarse,
+            n_samples_fine=n_samples_fine, diagnostics=diagnostics,
+        )
+    return nerf.render_image(
+        params, config, key, c2w, field_of_view, height, width,
+        chunk_size=chunk_size, n_samples_coarse=n_samples_coarse,
+        n_samples_fine=n_samples_fine, diagnostics=diagnostics,
+    )

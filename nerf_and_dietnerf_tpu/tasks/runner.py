@@ -67,15 +67,14 @@ class Runner:
         )
         # All offline rendering (videos, plots) runs in float32 — bf16
         # forward costs ~3 dB on rendered frames for ~12% speed. The backend
-        # is inherited on single-device runs (the fused Pallas kernel supports
-        # f32 and is the measured-fastest render path); mesh runs keep XLA
-        # (render_image is a single-device chunk loop).
+        # is inherited everywhere (the fused Pallas kernel supports f32 and is
+        # the measured-fastest render path); mesh runs render every frame
+        # tile-sharded over all chips (parallel/render_tiles.render_frame).
         import dataclasses as _dc
         import jax.numpy as _jnp
 
-        render_backend = self.nerf_config.backend if self.mesh is None else "xla"
         self.render_config = _dc.replace(
-            self.nerf_config, compute_dtype=_jnp.float32, backend=render_backend,
+            self.nerf_config, compute_dtype=_jnp.float32,
             mesh=None, fuse_compositing=False, fuse_fine_loss=False,
         )
         self.save_dir = config_lib.make_save_dir(self.run, self.config_path)
@@ -247,18 +246,28 @@ class Runner:
     # Render + save videos                                                #
     # ------------------------------------------------------------------ #
 
+    def _render_frame(self, params, key, c2w, diagnostics=False):
+        """One full-frame offline render — tile-sharded over the mesh when
+        one exists, the single-device chunk loop otherwise."""
+        from nerf_and_dietnerf_tpu.parallel import render_tiles
+
+        ds = self.dataset
+        return render_tiles.render_frame(
+            params, self.render_config, self.mesh, key,
+            np.asarray(c2w, np.float32), ds.field_of_view, ds.height, ds.width,
+            chunk_size=self.run.n_rays_in_batch_render,
+            diagnostics=diagnostics,
+        )
+
     def render_video(self, c2w_matrices, filename_rgb, filename_depths, loops=1):
         """Per-frame full renders -> rgb video + histogram-equalized
         expected-depth video (reference ``src/ExecutionRun.py:315-356``)."""
         params = self.load_params()
-        ds = self.dataset
         rgb_frames, depth_frames = [], []
         key = jax.random.PRNGKey(0)
         for i, c2w in enumerate(c2w_matrices):
-            result, z = nerf.render_image(
-                params, self.render_config, jax.random.fold_in(key, i),
-                np.asarray(c2w, np.float32), ds.field_of_view, ds.height, ds.width,
-                chunk_size=self.run.n_rays_in_batch_render,
+            result, z = self._render_frame(
+                params, jax.random.fold_in(key, i), c2w,
                 diagnostics=False,  # videos need rgb + depth only
             )
             rgb_frames.append(np.asarray(result.rgb))
@@ -306,10 +315,8 @@ class Runner:
         params = self.load_params()
         ds = self.dataset
         c2w = ds.camera_poses[self.run.idx_train_img_to_plot]
-        result, z = nerf.render_image(
-            params, self.render_config, jax.random.PRNGKey(0),
-            c2w, ds.field_of_view, ds.height, ds.width,
-            chunk_size=self.run.n_rays_in_batch_render,
+        result, z = self._render_frame(
+            params, jax.random.PRNGKey(0), c2w, diagnostics=True
         )
         h, w = ds.height, ds.width
         coords = np.asarray(((h // 2, w // 2), (h // 4, w // 4), (h // 4, w // 2)))
@@ -337,11 +344,8 @@ class Runner:
         )
         rendered = []
         for i, c2w in enumerate(path):
-            result, _ = nerf.render_image(
-                params, self.render_config, jax.random.PRNGKey(100 + i),
-                c2w, ds.field_of_view, ds.height, ds.width,
-                chunk_size=self.run.n_rays_in_batch_render,
-                diagnostics=False,
+            result, _ = self._render_frame(
+                params, jax.random.PRNGKey(100 + i), c2w, diagnostics=False
             )
             rendered.append(np.asarray(result.rgb))
         plots.save_interpolation_plot(

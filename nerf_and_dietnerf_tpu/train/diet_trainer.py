@@ -45,11 +45,27 @@ class DietTrainer(Trainer):
 
         if vit_weights:
             self.vit_params = vit.load_pretrained(vit_weights, diet.vit)
+        elif not getattr(run, "allow_random_embedder", False):
+            # Hard failure, not a warning: the random-init embedder measurably
+            # LOSES quality (-1.83 dB test PSNR vs just turning the
+            # consistency loss off, 50px few-shot A/B in
+            # runs/diet_ab_50px/RESULTS.md), so a stock dietnerf YAML must
+            # not silently train a worse-than-NeRF model.
+            raise ValueError(
+                "DietNeRF needs pretrained ViT weights for its semantic "
+                "consistency loss. Without them the embedder is random and "
+                "the consistency loss COSTS quality (measured -1.83 dB vs "
+                "consistency-off, runs/diet_ab_50px/RESULTS.md). Pass "
+                "--vit-weights <ViT-B/32 checkpoint>, or set "
+                "`allow_random_embedder: true` in the YAML to run the "
+                "degraded non-semantic mode anyway."
+            )
         else:
             print(
-                "[dietnerf] WARNING: no pretrained ViT weights supplied; the "
-                "consistency embedder is randomly initialized (non-semantic). "
-                "Pass vit_weights=<path> for DietNeRF-paper behavior."
+                "[dietnerf] WARNING: allow_random_embedder=true — the "
+                "consistency embedder is randomly initialized (non-semantic; "
+                "measured -1.83 dB vs consistency-off). Pass "
+                "vit_weights=<path> for DietNeRF-paper behavior."
             )
             self.vit_params = vit.init_params(jax.random.PRNGKey(7), diet.vit)
 

@@ -84,14 +84,12 @@ class Trainer:
         # Eval/PSNR renders always run in float32: bf16 forward costs ~3 dB
         # of PSNR on rendered frames (measured) for ~12% render speed — the
         # wrong trade everywhere except inside the train step. The *backend*
-        # is inherited on single-device runs: the fused Pallas kernel supports
-        # f32 and the per-epoch eval renders were ~21% of flagship epoch
-        # wall-clock on the XLA path (runs/256px_alexander_nerf/train.log).
-        # Mesh runs keep XLA — render_image is a single-device chunk loop and
-        # pallas_call has no GSPMD rule for replicated-param dispatch.
-        eval_backend = self.config.backend if mesh is None else "xla"
+        # is inherited everywhere: the fused Pallas kernel supports f32 and is
+        # the measured-fastest render path; on mesh runs the frame renders
+        # tile-sharded over all chips (parallel/render_tiles.render_frame),
+        # which re-injects the mesh so the kernel runs shard_mapped.
         self.eval_config = dataclasses.replace(
-            self.config, compute_dtype=jnp.float32, backend=eval_backend,
+            self.config, compute_dtype=jnp.float32,
             mesh=None, fuse_compositing=False, fuse_fine_loss=False,
         )
         self.optimizer = ts.make_optimizer(run.optimizer_lr)
@@ -207,6 +205,12 @@ class Trainer:
         """One pass over the (permuted) ray table."""
         key = jax.random.PRNGKey(epoch)
         k_perm, k_steps = jax.random.split(key)
+        # The eval-render memo is only valid for the params that produced it;
+        # training below changes params, so drop any cached renders now (a
+        # cache keyed on epoch alone would serve stale renders if fit() is
+        # called twice on one Trainer, or if a caller rendered epoch N before
+        # this train_epoch(N)).
+        self._eval_render_cache = None
         t0 = time.perf_counter()
         n_batches = self.data.batches_per_epoch
         if n_batches == 0:
@@ -273,6 +277,8 @@ class Trainer:
             self._eval_render_cache[0] == epoch
         ):
             return self._eval_render_cache[1]
+        from nerf_and_dietnerf_tpu.parallel import render_tiles
+
         ds = self.dataset
         key = jax.random.PRNGKey(10_000 + epoch)
         renders = {}
@@ -280,8 +286,8 @@ class Trainer:
             ("train", self.run.idx_train_img_to_plot),
             ("test", self.run.test_img_idx),
         ):
-            result, _ = nerf.render_image(
-                self.state.params, self.eval_config, key,
+            result, _ = render_tiles.render_frame(
+                self.state.params, self.eval_config, self.mesh, key,
                 ds.camera_poses[idx], ds.field_of_view, ds.height, ds.width,
                 chunk_size=self.run.n_rays_in_batch_render,
                 diagnostics=False,

@@ -90,6 +90,11 @@ class RunConfig:
     backend: str = "xla"        # "xla" | "pallas" | "pallas_mlp" | "pallas_rm"
     on_device_epoch: bool = True             # whole-epoch lax.scan when it fits
     stop_fine_z_grad: bool = False           # True = bmild/nerf stop-gradient
+    # DietNeRF without pretrained ViT weights is a measurably quality-LOSING
+    # mode (random-init embedder: -1.83 dB vs consistency-off on the 50px
+    # few-shot A/B, runs/diet_ab_50px/RESULTS.md). Refuse to train it unless
+    # the config opts in explicitly (or --vit-weights supplies a checkpoint).
+    allow_random_embedder: bool = False
     config_name: str = "run"                 # stem of the YAML file
 
     VALID_BACKENDS = ("xla", "pallas", "pallas_mlp", "pallas_rm")

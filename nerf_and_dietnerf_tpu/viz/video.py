@@ -42,19 +42,38 @@ def save_frames_as_video(filename, frames, fps: int) -> None:
         frame = np.asarray(frame)
         if frame.ndim == 2:
             frame = np.repeat(frame[..., None], 3, axis=-1)
+        if frame.shape[:2] != (height, width):
+            # cv2.VideoWriter silently drops wrong-sized frames (an FFmpeg
+            # warning on stderr is all you get) — fail loudly instead.
+            writer.release()
+            raise ValueError(
+                f"frame size {frame.shape[:2]} != video size {(height, width)}"
+            )
         frame = np.uint8(np.round(np.clip(frame, 0.0, 1.0) * 255))
         writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     writer.release()
 
 
 def _numbered_images_in(directory) -> List[str]:
-    """Image files sorted by the trailing number in their stem."""
+    """Numbered image files sorted by the trailing number in their stem.
+
+    Only files whose name ends in a number are plot frames (reference
+    ``src/UtilsPlots.py:15,206-218`` — ``PLOT_FILENAME_PATTERN`` requires a
+    trailing digit before ``.jpg``). The unnumbered ``test_img.jpg`` snapshot
+    lives in the same directory and must be excluded: its frame size differs
+    from the epoch plots, and an odd-sized first frame mis-sizes the video
+    writer so every real plot frame fails to write (caught end-to-end:
+    1-frame plots_video.avi)."""
     def order(name):
         m = re.search(r"(\d+)\D*$", Path(name).stem)
-        return int(m.group(1)) if m else 0
+        return int(m.group(1)) if m else None
 
     return sorted(
-        (f for f in os.listdir(directory) if f.endswith((".jpg", ".png"))), key=order
+        (
+            f for f in os.listdir(directory)
+            if f.endswith((".jpg", ".png")) and order(f) is not None
+        ),
+        key=order,
     )
 
 

@@ -113,6 +113,7 @@ def test_diet_trainer_step_dispatch(tmp_path):
     )
     run = RunConfig(
         type_of_model="DietNeRF",
+        allow_random_embedder=True,
         hidden_layer_dim=16, last_hidden_layer_dim=8,
         n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
         n_render_samples_coarse=4, n_render_samples_fine=4,
@@ -151,6 +152,7 @@ def test_diet_on_device_epoch_matches_dispatch(tmp_path):
     )
     run = RunConfig(
         type_of_model="DietNeRF",
+        allow_random_embedder=True,
         hidden_layer_dim=16, last_hidden_layer_dim=8,
         n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
         n_render_samples_coarse=4, n_render_samples_fine=4,
@@ -193,6 +195,7 @@ def test_diet_sharded_epoch_matches_single(tmp_path):
     )
     run = RunConfig(
         type_of_model="DietNeRF",
+        allow_random_embedder=True,
         hidden_layer_dim=16, last_hidden_layer_dim=8,
         n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
         n_render_samples_coarse=4, n_render_samples_fine=4,
@@ -278,3 +281,33 @@ def test_vit_hf_import_torch_bin(tmp_path):
     params = vit.load_pretrained(str(path), cfg)
     assert params["patch_embed"]["kernel"].shape == (16 * 16 * 3, 32)
     assert len(params["blocks"]) == 1
+
+
+def test_random_embedder_requires_explicit_opt_in(tmp_path):
+    """A dietnerf run without ViT weights must FAIL unless the config opts
+    into the degraded mode (VERDICT r3 #7: the random-init embedder measurably
+    costs quality, so a stock YAML must not silently train it)."""
+    import pytest
+
+    from nerf_and_dietnerf_tpu.train.diet_trainer import DietTrainer
+    from nerf_and_dietnerf_tpu.utils.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    ds = Dataset(
+        images=rng.uniform(size=(3, 10, 10, 3)).astype(np.float32),
+        camera_poses=np.stack([np.eye(4, dtype=np.float32)] * 3),
+        field_of_view=0.8, near=0.5, far=3.0,
+        average_c2w_before_recenter=np.eye(4), scale=1.0,
+    )
+    run = RunConfig(
+        type_of_model="DietNeRF",
+        hidden_layer_dim=16, last_hidden_layer_dim=8,
+        n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
+        n_render_samples_coarse=4, n_render_samples_fine=4,
+        near_depth_render=0.5, far_depth_render=3.0,
+        n_rays_in_batch_train=40, n_epochs=1,
+        compute_dtype="float32",
+    )
+    assert not run.allow_random_embedder  # default: semantic weights required
+    with pytest.raises(ValueError, match="allow_random_embedder"):
+        DietTrainer(run, ds, tmp_path, diet=TINY_DIET)

@@ -7,6 +7,7 @@ import pytest
 
 from nerf_and_dietnerf_tpu.models import mlp as m
 from nerf_and_dietnerf_tpu.ops import raymarch_pallas as rp
+from nerf_and_dietnerf_tpu.ops import research_kernels as rk
 
 CASES = [
     m.MLPConfig(hidden_dim=32, last_hidden_dim=16, n_freq_xyz=2, n_freq_dir=2, n_angles=2),
@@ -218,7 +219,7 @@ def test_raymarch_fused_matches_xla(cfg):
     )
 
     ref = _xla_reference(cfg, params, orig, dirs, z)
-    got = rp.apply_raymarch_fused(params, cfg, orig, dirs, vc, z, jnp.float32)
+    got = rk.apply_raymarch_fused(params, cfg, orig, dirs, vc, z, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4)
 
     g = jax.random.normal(jax.random.PRNGKey(5), (n_rays, S, 4))
@@ -228,7 +229,7 @@ def test_raymarch_fused_matches_xla(cfg):
     )(params, z)
     gn = jax.grad(
         lambda p, zz: jnp.sum(
-            rp.apply_raymarch_fused(p, cfg, orig, dirs, vc, zz, jnp.float32) * g
+            rk.apply_raymarch_fused(p, cfg, orig, dirs, vc, zz, jnp.float32) * g
         ),
         argnums=(0, 1),
     )(params, z)
@@ -253,7 +254,7 @@ def test_raymarch_fused_sharded_matches_single():
 
     ref = _xla_reference(cfg, params, orig, dirs, z)
     got = jax.jit(
-        lambda p, o, d, v, zz: rp.apply_raymarch_fused_sharded(
+        lambda p, o, d, v, zz: rk.apply_raymarch_fused_sharded(
             p, cfg, o, d, v, zz, jnp.float32, mesh=mesh, axis=mesh_lib.DATA_AXIS
         )
     )(params, orig, dirs, vc, z)
@@ -267,7 +268,7 @@ def test_raymarch_fused_sharded_matches_single():
     gn = jax.jit(
         jax.grad(
             lambda p, zz: jnp.sum(
-                rp.apply_raymarch_fused_sharded(
+                rk.apply_raymarch_fused_sharded(
                     p, cfg, orig, dirs, vc, zz, jnp.float32,
                     mesh=mesh, axis=mesh_lib.DATA_AXIS,
                 )
@@ -313,7 +314,7 @@ def test_raymarch_composited_matches_xla(cfg):
     )
 
     rgb_ref, w_ref = _xla_composited(cfg, params, orig, dirs, z)
-    rgb, w = rp.apply_raymarch_composited(params, cfg, orig, dirs, vc, z, jnp.float32)
+    rgb, w = rk.apply_raymarch_composited(params, cfg, orig, dirs, vc, z, jnp.float32)
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=3e-4, rtol=3e-4)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=3e-4, rtol=3e-4)
 
@@ -325,7 +326,7 @@ def test_raymarch_composited_matches_xla(cfg):
         return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
 
     def kern_loss(p, zz):
-        r, ww = rp.apply_raymarch_composited(p, cfg, orig, dirs, vc, zz, jnp.float32)
+        r, ww = rk.apply_raymarch_composited(p, cfg, orig, dirs, vc, zz, jnp.float32)
         return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
 
     gr = jax.grad(xla_loss, argnums=(0, 1))(params, z)
@@ -350,7 +351,7 @@ def test_raymarch_composited_opaque_rays_nan_free():
     z = jnp.sort(z, axis=-1)  # monotone depths: T underflows to exactly 0
 
     def loss(p, zz):
-        r, ww = rp.apply_raymarch_composited(p, cfg, orig, dirs, None, zz, jnp.float32)
+        r, ww = rk.apply_raymarch_composited(p, cfg, orig, dirs, None, zz, jnp.float32)
         return jnp.sum(r) + jnp.sum(ww)
 
     val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, z)
@@ -373,7 +374,7 @@ def test_raymarch_composited_sharded_matches_single():
 
     rgb_ref, w_ref = _xla_composited(cfg, params, orig, dirs, z)
     rgb, w = jax.jit(
-        lambda p, o, d, v, zz: rp.apply_raymarch_composited_sharded(
+        lambda p, o, d, v, zz: rk.apply_raymarch_composited_sharded(
             p, cfg, o, d, v, zz, jnp.float32, mesh=mesh, axis=mesh_lib.DATA_AXIS
         )
     )(params, orig, dirs, vc, z)
@@ -388,7 +389,7 @@ def test_raymarch_composited_sharded_matches_single():
         return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
 
     def kern_loss(p, zz):
-        r, ww = rp.apply_raymarch_composited_sharded(
+        r, ww = rk.apply_raymarch_composited_sharded(
             p, cfg, orig, dirs, vc, zz, jnp.float32, mesh=mesh, axis=mesh_lib.DATA_AXIS
         )
         return jnp.sum(r * g_rgb) + jnp.sum(ww * g_w)
@@ -432,7 +433,7 @@ def test_mlp_composited_matches_xla(cfg):
 
     def kernel_out(p, zz):
         ex, ed = _enc_inputs(cfg, orig, dirs, zz)
-        return rp.apply_mlp_composited(p, cfg, ex, ed, zz, jnp.float32)
+        return rk.apply_mlp_composited(p, cfg, ex, ed, zz, jnp.float32)
 
     rgb, w = kernel_out(params, z)
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=3e-4, rtol=3e-4)
@@ -502,7 +503,7 @@ def test_mlp_composited_sharded_matches_single():
 
     def kernel_out(p, zz):
         ex, ed = _enc_inputs(cfg, orig, dirs, zz)
-        return rp.apply_mlp_composited_sharded(
+        return rk.apply_mlp_composited_sharded(
             p, cfg, ex, ed, zz, jnp.float32, mesh=mesh, axis=mesh_lib.DATA_AXIS
         )
 
@@ -542,7 +543,7 @@ def test_mlp_composited_opaque_rays_nan_free():
 
     def loss(p, zz):
         ex, ed = _enc_inputs(cfg, orig, dirs, zz)
-        r, ww = rp.apply_mlp_composited(p, cfg, ex, ed, zz, jnp.float32)
+        r, ww = rk.apply_mlp_composited(p, cfg, ex, ed, zz, jnp.float32)
         return jnp.sum(r) + jnp.sum(ww)
 
     val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, z)
@@ -571,7 +572,7 @@ def test_mlp_loss_composited_matches_xla(cfg):
 
     def kern_loss(p, zz):
         ex, ed = _enc_inputs(cfg, orig, dirs, zz)
-        return rp.apply_mlp_loss_composited(
+        return rk.apply_mlp_loss_composited(
             p, cfg, ex, ed, zz, dirs, target, jnp.float32
         )
 

@@ -106,15 +106,34 @@ def test_eval_config_inherits_fast_backend_single_device(tmp_path):
     assert not trainer.eval_config.fuse_fine_loss
 
 
-def test_eval_config_mesh_runs_keep_xla(tmp_path):
-    from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib
+def test_eval_config_mesh_runs_inherit_backend_and_shard(tmp_path, monkeypatch):
+    """Mesh trainers keep the fast backend for eval AND route every eval
+    render through the tile-sharded path (VERDICT r3 #2: mesh runs must not
+    render on one device)."""
+    from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib, render_tiles
     from nerf_and_dietnerf_tpu.train.trainer import Trainer
 
     ds, run = _tiny_dataset_and_run("pallas")
     mesh = mesh_lib.make_mesh()
     trainer = Trainer(run, ds, tmp_path, mesh=mesh)
-    assert trainer.eval_config.backend == "xla"
+    assert trainer.eval_config.backend == "pallas"
+    assert trainer.eval_config.compute_dtype == jnp.float32
+    # The eval config itself carries no mesh — render_frame injects it so the
+    # kernel runs shard_mapped only on the sharded path.
     assert trainer.eval_config.mesh is None
+
+    calls = []
+    real = render_tiles.render_image_sharded
+
+    def spy(*args, **kwargs):
+        calls.append(args[2])  # the mesh argument
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(render_tiles, "render_image_sharded", spy)
+    trainer.render_eval_images(0)
+    assert calls and calls[0] is mesh, (
+        "mesh trainer eval render did not go through the tile-sharded path"
+    )
 
 
 def test_render_path_pallas_f32_matches_xla(tmp_path):

@@ -130,3 +130,36 @@ def test_runner_resume_renders_without_training(tmp_path, patched_loader):
     assert r2.save_dir == r1.save_dir
     r2.start()
     assert (r2.save_dir / runner_lib.VIDEOS_DIRNAME / video.FILENAME_RGB_L_TO_R).exists()
+
+
+def test_plot_video_excludes_unnumbered_snapshot(tmp_path):
+    """The plot video must include ONLY numbered epoch plots — the
+    unnumbered test_img.jpg snapshot shares the directory and, if included,
+    mis-sizes the writer so every real frame is silently dropped (reference
+    filter: src/UtilsPlots.py:15,206-218). Caught by the end-to-end CLI
+    drive: a 1-frame plots_video.avi."""
+    import cv2
+
+    plots_dir = tmp_path / "plot_iteration_images"
+    plots_dir.mkdir()
+    small = np.zeros((20, 30, 3), np.uint8)
+    big = np.full((60, 90, 3), 128, np.uint8)
+    cv2.imwrite(str(plots_dir / "test_img.jpg"), small)  # must be excluded
+    cv2.imwrite(str(plots_dir / "train_iteration_plots_001.jpg"), big)
+    cv2.imwrite(str(plots_dir / "train_iteration_plots_002.jpg"), big)
+
+    assert video._numbered_images_in(plots_dir) == [
+        "train_iteration_plots_001.jpg", "train_iteration_plots_002.jpg"
+    ]
+    out = tmp_path / "plots_video.avi"
+    video.save_plot_video(2, plots_dir, out, downscale=1.0)
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 2
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 90
+
+
+def test_mismatched_frame_sizes_fail_loudly(tmp_path):
+    """cv2 silently drops wrong-sized frames; our writer must raise."""
+    frames = [np.zeros((8, 8, 3)), np.zeros((16, 8, 3))]
+    with pytest.raises(ValueError, match="frame size"):
+        video.save_frames_as_video(tmp_path / "v.avi", frames, 2)

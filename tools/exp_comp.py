@@ -45,6 +45,7 @@ def main():
     from nerf_and_dietnerf_tpu.models.mlp import MLPConfig
     from nerf_and_dietnerf_tpu.models.nerf import NeRFConfig
     from nerf_and_dietnerf_tpu.ops import raymarch_pallas as rp
+    from nerf_and_dietnerf_tpu.ops import research_kernels as rk
     from nerf_and_dietnerf_tpu.train import train_step as ts
 
     batch = 4096
@@ -67,7 +68,7 @@ def main():
 
         def mk_comp_fwd():
             def body(c, key):
-                px, w = rp.apply_raymarch_composited(
+                px, w = rk.apply_raymarch_composited(
                     mlp_params, mlp_cfg, orig, dirs, comps, z + c * 0.0
                 )
                 return jnp.mean(px) + c * 0.0, None
@@ -76,7 +77,7 @@ def main():
         def mk_comp_grad():
             def body(c, key):
                 def loss(p):
-                    px, w = rp.apply_raymarch_composited(p, mlp_cfg, orig, dirs, comps, z)
+                    px, w = rk.apply_raymarch_composited(p, mlp_cfg, orig, dirs, comps, z)
                     return jnp.mean(px**2) + jnp.mean(w**2)
                 g = jax.grad(loss)(mlp_params)
                 return c + jnp.mean(jax.tree.leaves(g)[0]), None
@@ -84,14 +85,14 @@ def main():
 
         def mk_nc_fwd():
             def body(c, key):
-                raw = rp.apply_raymarch_fused(mlp_params, mlp_cfg, orig, dirs, comps, z)
+                raw = rk.apply_raymarch_fused(mlp_params, mlp_cfg, orig, dirs, comps, z)
                 return jnp.mean(raw) + c * 0.0, None
             return jnp.float32(0.0), body
 
         def mk_nc_grad():
             def body(c, key):
                 def loss(p):
-                    raw = rp.apply_raymarch_fused(p, mlp_cfg, orig, dirs, comps, z)
+                    raw = rk.apply_raymarch_fused(p, mlp_cfg, orig, dirs, comps, z)
                     return jnp.mean(raw**2)
                 g = jax.grad(loss)(mlp_params)
                 return c + jnp.mean(jax.tree.leaves(g)[0]), None

@@ -44,6 +44,7 @@ def main():
     from nerf_and_dietnerf_tpu.models import mlp as mlp_lib
     from nerf_and_dietnerf_tpu.models.mlp import MLPConfig
     from nerf_and_dietnerf_tpu.ops import raymarch_pallas as rp
+    from nerf_and_dietnerf_tpu.ops import research_kernels as rk
 
     batch = 4096
     k1, _ = jax.random.split(jax.random.PRNGKey(1))
@@ -123,7 +124,7 @@ def main():
 
             def mk():
                 def body(c, key):
-                    raw = rp.apply_raymarch_fused(
+                    raw = rk.apply_raymarch_fused(
                         mlp_params, mlp_cfg, orig, dirs, comps, z
                     )
                     return jnp.mean(raw) + c * 0.0, None

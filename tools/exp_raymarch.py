@@ -33,6 +33,7 @@ def main():
     from nerf_and_dietnerf_tpu.core import cameras
     from nerf_and_dietnerf_tpu.models import mlp as m
     from nerf_and_dietnerf_tpu.ops import raymarch_pallas as rp
+    from nerf_and_dietnerf_tpu.ops import research_kernels as rk
 
     cfg = m.MLPConfig()
     params = m.init_params(jax.random.PRNGKey(0), cfg)
@@ -46,13 +47,13 @@ def main():
         z = jax.random.uniform(jax.random.PRNGKey(2), (n_rays, S), minval=2.0, maxval=6.0)
 
         def fwd_body(c, key):
-            out = rp.apply_raymarch_fused(params, cfg, orig, dirs, vc, z + c, jnp.bfloat16)
+            out = rk.apply_raymarch_fused(params, cfg, orig, dirs, vc, z + c, jnp.bfloat16)
             return jnp.mean(out), None
 
         def grad_body(c, key):
             g = jax.grad(
                 lambda p: jnp.mean(
-                    rp.apply_raymarch_fused(p, cfg, orig, dirs, vc, z + c, jnp.bfloat16) ** 2
+                    rk.apply_raymarch_fused(p, cfg, orig, dirs, vc, z + c, jnp.bfloat16) ** 2
                 )
             )(params)
             return jnp.mean(jax.tree.leaves(g)[0]), None
