@@ -41,10 +41,68 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
-def make_optimizer(learning_rate: float = 5e-4) -> optax.GradientTransformation:
+def make_optimizer(
+    learning_rate: float = 5e-4,
+    grad_clip_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
     """Adam with the reference's defaults (``src/ExecutionRun.py:226``,
-    lr from YAML ``training.optimizer_learning_rate``)."""
-    return optax.adam(learning_rate)
+    lr from YAML ``training.optimizer_learning_rate``).
+
+    :param grad_clip_norm: optional global-norm gradient clip applied before
+        Adam. The reference trains unclipped; ``None`` (the default)
+        reproduces that. Rationale for offering it: differentiating *through*
+        the hierarchical resampling (the reference's semantics,
+        ``src/NeRF.py:155``) makes the objective's gradient discontinuous in
+        the coarse weights, and near convergence single batches can emit
+        gradient spikes orders of magnitude above typical. A spike inflates
+        Adam's second moments, which suppresses the effective lr for the
+        rest of training — measured on the 256px flagship as a late-phase
+        PSNR plateau ~1 dB below a spike-free trajectory and a 3.8 dB crash
+        in the final epoch (runs/256px_alexander_nerf_r04/RESULTS.md).
+        A generous threshold (~10x the healthy-step global norm) only fires
+        on pathological steps and leaves healthy dynamics bit-unchanged on
+        steps below it.
+    """
+    adam = optax.adam(learning_rate)
+    if grad_clip_norm is None:
+        return adam
+    return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adam)
+
+
+def make_optimizer_with_schedule(
+    learning_rate: float,
+    lr_final: Optional[float] = None,
+    total_steps: Optional[int] = None,
+    grad_clip_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Adam with an optional exponential lr decay from ``learning_rate`` to
+    ``lr_final`` over ``total_steps`` (matching the original bmild/nerf
+    schedule shape: lr(t) = lr0 * (lr_final/lr0)^(t/T)).
+
+    The Sahar-E reference trains at a CONSTANT lr — its config schema has
+    decay keys (``epoch_num_to_reach_high_lr`` / ``optimizer_low_lr``) that
+    are read nowhere (verified dead; utils/config.LEGACY_IGNORED_KEYS), so
+    constant-lr is the parity default here too (``lr_final=None``). The
+    schedule exists because constant 5e-4 measurably oscillates near
+    convergence at the 256px flagship scale: per-step replay of the r04
+    stock run's final epoch shows losses climbing 0.0028 -> 0.0061 over the
+    last ~20 steps with no single spike (a divergence onset, not a bad
+    batch), costing ~1 dB of late-phase PSNR and 3.8 dB in the final epoch
+    (runs/256px_alexander_nerf_r04/RESULTS.md).
+    """
+    if lr_final is None:
+        return make_optimizer(learning_rate, grad_clip_norm=grad_clip_norm)
+    if not total_steps or total_steps <= 0:
+        raise ValueError("lr_final requires a positive total_steps")
+    schedule = optax.exponential_decay(
+        init_value=learning_rate,
+        transition_steps=total_steps,
+        decay_rate=lr_final / learning_rate,
+    )
+    adam = optax.adam(schedule)
+    if grad_clip_norm is None:
+        return adam
+    return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adam)
 
 
 def init_train_state(key, config: NeRFConfig, optimizer) -> TrainState:

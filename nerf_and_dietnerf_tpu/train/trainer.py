@@ -92,8 +92,6 @@ class Trainer:
             self.config, compute_dtype=jnp.float32,
             mesh=None, fuse_compositing=False, fuse_fine_loss=False,
         )
-        self.optimizer = ts.make_optimizer(run.optimizer_lr)
-
         train_idx = loaders.train_test_split_indices(
             len(dataset), run.test_img_idx, run.pics_indices_to_use_in_dataset
         )
@@ -105,6 +103,16 @@ class Trainer:
             run.n_rays_in_batch_train,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+        )
+
+        # Built after the data pipeline: the optional lr schedule needs the
+        # run's total step count (reference parity = constant lr; see
+        # train_step.make_optimizer_with_schedule).
+        self.optimizer = ts.make_optimizer_with_schedule(
+            run.optimizer_lr,
+            lr_final=run.optimizer_lr_final,
+            total_steps=run.n_epochs * self.data.batches_per_epoch,
+            grad_clip_norm=run.grad_clip_norm,
         )
 
         self.state = ts.init_train_state(

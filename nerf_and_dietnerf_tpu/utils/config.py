@@ -90,6 +90,15 @@ class RunConfig:
     backend: str = "xla"        # "xla" | "pallas" | "pallas_mlp" | "pallas_rm"
     on_device_epoch: bool = True             # whole-epoch lax.scan when it fits
     stop_fine_z_grad: bool = False           # True = bmild/nerf stop-gradient
+    # Optional global-norm gradient clip (null = reference behavior, no
+    # clipping). See train_step.make_optimizer for the measured rationale.
+    grad_clip_norm: 'Optional[float]' = None
+    # Optional exponential lr decay target (null = reference behavior,
+    # constant lr). When set, lr decays from optimizer_lr to this value over
+    # the run's total steps (the bmild/nerf schedule shape); fixes the
+    # measured late-phase oscillation at constant lr on the 256px flagship
+    # (see train_step.make_optimizer_with_schedule).
+    optimizer_lr_final: 'Optional[float]' = None
     # DietNeRF without pretrained ViT weights is a measurably quality-LOSING
     # mode (random-init embedder: -1.83 dB vs consistency-off on the 50px
     # few-shot A/B, runs/diet_ab_50px/RESULTS.md). Refuse to train it unless

@@ -260,3 +260,89 @@ def test_epoch_eval_renders_once_per_frame(tmp_path, monkeypatch):
     trainer.fit(log=None)
     # 2 frames (train + test) rendered exactly once for PSNRs AND the plot
     assert calls["n"] == 2
+
+
+def test_grad_clip_norm_plumbing(tmp_path):
+    """grad_clip_norm=None reproduces plain Adam bit-for-bit; a tiny clip
+    threshold measurably changes the step (the clip transform is live)."""
+    import numpy as np
+
+    from nerf_and_dietnerf_tpu.models import nerf as nerf_lib
+
+    config = TINY
+    params = nerf_lib.init_params(jax.random.PRNGKey(0), config)
+    n = 8
+    orig = jnp.zeros((n, 4)).at[:, 3].set(1.0)
+    dirs = jnp.concatenate(
+        [jax.random.normal(jax.random.PRNGKey(1), (n, 3)), jnp.zeros((n, 1))], -1
+    )
+    rgb = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
+    batch = (orig, dirs, rgb)
+
+    def one_step(optimizer):
+        state = ts.TrainState(
+            params=params, opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        state, _ = ts.make_train_step(config, optimizer, donate=False)(
+            state, jax.random.PRNGKey(3), batch
+        )
+        return state.params
+
+    p_plain = one_step(ts.make_optimizer(1e-3))
+    p_none = one_step(ts.make_optimizer(1e-3, grad_clip_norm=None))
+    p_clip = one_step(ts.make_optimizer(1e-3, grad_clip_norm=1e-6))
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_none)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_clip))
+    ]
+    assert max(diffs) > 0, "clip threshold had no effect on the update"
+
+
+def test_lr_schedule_decays_and_default_is_constant(tmp_path):
+    """optimizer_lr_final=None is bit-identical to plain Adam (reference
+    parity); with a target, the effective lr decays exponentially to it."""
+    import numpy as np
+    import optax
+
+    # Schedule shape: lr(T) == lr_final, lr(0) == lr0.
+    opt = ts.make_optimizer_with_schedule(5e-4, lr_final=5e-5, total_steps=100)
+    sched = optax.exponential_decay(5e-4, 100, 5e-5 / 5e-4)
+    assert np.isclose(float(sched(0)), 5e-4)
+    assert np.isclose(float(sched(100)), 5e-5)
+
+    params = nerf.init_params(jax.random.PRNGKey(0), TINY)
+    n = 8
+    orig = jnp.zeros((n, 4)).at[:, 3].set(1.0)
+    dirs = jnp.concatenate(
+        [jax.random.normal(jax.random.PRNGKey(1), (n, 3)), jnp.zeros((n, 1))], -1
+    )
+    rgb = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
+    batch = (orig, dirs, rgb)
+
+    def two_steps(optimizer):
+        # Two steps: lr(0) equals the constant lr by construction, so the
+        # schedules only diverge from step 2 onward.
+        state = ts.TrainState(
+            params=params, opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = ts.make_train_step(TINY, optimizer, donate=False)
+        state, _ = step(state, jax.random.PRNGKey(3), batch)
+        state, _ = step(state, jax.random.PRNGKey(4), batch)
+        return state.params
+
+    p_plain = two_steps(ts.make_optimizer(1e-3))
+    p_none = two_steps(ts.make_optimizer_with_schedule(1e-3, lr_final=None))
+    p_decay = two_steps(
+        ts.make_optimizer_with_schedule(1e-3, lr_final=1e-4, total_steps=10)
+    )
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_none)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diffs = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_decay))
+    ]
+    assert max(diffs) > 0
