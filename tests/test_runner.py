@@ -163,3 +163,44 @@ def test_mismatched_frame_sizes_fail_loudly(tmp_path):
     frames = [np.zeros((8, 8, 3)), np.zeros((16, 8, 3))]
     with pytest.raises(ValueError, match="frame size"):
         video.save_frames_as_video(tmp_path / "v.avi", frames, 2)
+
+
+def test_runner_all_tasks_on_mesh(tmp_path, patched_loader, monkeypatch):
+    """The full 8-task sweep on an 8-virtual-device mesh: training shards
+    the ray batch, and every offline render (videos, ray-value diagnostics,
+    interpolation) goes through the tile-sharded render path."""
+    from nerf_and_dietnerf_tpu.parallel import mesh as mesh_lib, render_tiles
+
+    cfg = dict(CONFIG)
+    cfg["general_save_location"] = str(tmp_path / "Results")
+    config_path = tmp_path / "tiny_mesh_run.yaml"
+    config_path.write_text(yaml.safe_dump(cfg))
+
+    sharded_calls = []
+    real = render_tiles.render_image_sharded
+
+    def spy(*args, **kwargs):
+        sharded_calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(render_tiles, "render_image_sharded", spy)
+
+    mesh = mesh_lib.make_mesh()
+    r = runner_lib.Runner(config_path, mesh=mesh)
+    r.start()
+
+    save = r.save_dir
+    vid = save / runner_lib.VIDEOS_DIRNAME
+    for name in (
+        video.FILENAME_RGB_SPHERE, video.FILENAME_DEPTH_SPHERE,
+        video.FILENAME_RGB_PATH, video.FILENAME_TRAIN_SET, video.FILENAME_PLOTS,
+    ):
+        assert (vid / name).exists(), name
+        assert (vid / name).stat().st_size > 0, name
+    special = save / plots.SPECIAL_PLOTS_DIRNAME
+    assert len(list(special.glob("ray_values_*.jpg"))) == 3
+    assert (special / "interpolation_between_2_images.jpg").exists()
+    # Eval renders + every video/plot frame must have gone through the
+    # sharded path (l_to_r 2 + sphere 2 + path 2 + interpolation 16 +
+    # ray-values 1 + per-epoch evals).
+    assert len(sharded_calls) >= 23, len(sharded_calls)
