@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 TERMINAL_DELTA = 1e9  # reference src/UtilsNeuralRadianceField.py:105
@@ -70,8 +71,22 @@ def exclusive_cumprod(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def jax_sigmoid(x):
-    """Plain logistic sigmoid (kept local so the fused kernel can mirror it)."""
-    return 1.0 / (1.0 + jnp.exp(-x))
+    """Logistic sigmoid with an AD-stable formulation (kept local so the
+    fused kernel can mirror it).
+
+    MUST be ``jax.nn.sigmoid``, not the naive ``1/(1+exp(-x))``: the naive
+    form's forward is fine at any input (``1/inf == 0``) but its autodiff is
+    ``d(1/(1+u)) * du`` with ``u = exp(-x) == inf`` for ``x <= ~-89`` (f32
+    exp overflow), i.e. ``0 * inf == NaN``. One NaN gradient poisons Adam's
+    moments permanently — measured: the 256px Robot 0-angle run (black
+    background drives rgb logits that negative) went loss=NaN at epoch 5 in
+    BOTH the pallas and plain-XLA backends, root-caused to this exact
+    cotangent (runs/robot256_0angle_r04/RESULTS.md). The reference's
+    ``tf.sigmoid`` registers the stable ``s*(1-s)`` gradient
+    (src/UtilsNeuralRadianceField.py:100 never sees this), so the stable
+    form IS reference-gradient parity. The fused kernels' hand-written
+    VJPs already use ``s*(1-s)`` and were never affected."""
+    return jax.nn.sigmoid(x)
 
 
 def depth_from_weights(weights: jnp.ndarray, z_values: jnp.ndarray) -> jnp.ndarray:

@@ -1,5 +1,6 @@
 """Alpha compositing golden-value tests."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,3 +79,27 @@ def test_depth_from_weights():
     w = jnp.array([[0.25, 0.75]])
     z = jnp.array([[2.0, 4.0]])
     np.testing.assert_allclose(np.asarray(rendering.depth_from_weights(w, z)), [3.5])
+
+
+def test_composite_gradients_finite_at_saturated_rgb_logits():
+    """Cotangents through the compositing must stay finite for arbitrarily
+    saturated rgb logits. The naive 1/(1+exp(-x)) sigmoid autodiffs to
+    0 * inf = NaN for logits <= ~-89 — exactly what black-background scenes
+    (Robot Blender) produce; one NaN gradient permanently poisons Adam
+    (root-caused in runs/robot256_0angle_r04/RESULTS.md)."""
+    n_rays, n_samples = 4, 8
+    rng = np.random.default_rng(0)
+    z = np.sort(rng.uniform(0.5, 3.0, size=(n_rays, n_samples)), axis=-1).astype(np.float32)
+    raw = rng.normal(size=(n_rays, n_samples, 4)).astype(np.float32)
+    raw[0, :, 0] = -120.0   # past f32 exp(-x) overflow
+    raw[1, :, 1] = +120.0
+    raw[2, :, 2] = -1e6
+    raw = jnp.asarray(raw)
+
+    def f(raw):
+        result = rendering.composite(raw, jnp.asarray(z))
+        return jnp.sum(jnp.square(result.rgb))
+
+    val, grad = jax.value_and_grad(f)(raw)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all(), "NaN/inf cotangent through composite"
