@@ -116,7 +116,7 @@ class Trainer:
         )
 
         self.state = ts.init_train_state(
-            jax.random.PRNGKey(0), self.config, self.optimizer
+            jax.random.PRNGKey(run.init_seed), self.config, self.optimizer
         )
         self.start_epoch = 0
         self._maybe_resume()

@@ -90,6 +90,15 @@ class RunConfig:
     backend: str = "xla"        # "xla" | "pallas" | "pallas_mlp" | "pallas_rm"
     on_device_epoch: bool = True             # whole-epoch lax.scan when it fits
     stop_fine_z_grad: bool = False           # True = bmild/nerf stop-gradient
+    # Parameter-init PRNG seed. Matters more than it sounds: on
+    # black-background frontal scenes (Robot l_to_r) the fine network's
+    # relu-density head can be born (near-)dead — sigma preactivations
+    # almost all negative => relu' kills the density gradient => the fine
+    # pass renders black forever while the coarse net trains fine (measured:
+    # runs/robot100_l_to_r_r04/RESULTS.md, two 50-100-epoch runs stuck at
+    # exactly the all-black PSNR). The reference hardcodes its framework's
+    # init draw; changing the seed redraws the lottery.
+    init_seed: int = 0
     # Optional global-norm gradient clip (null = reference behavior, no
     # clipping). See train_step.make_optimizer for the measured rationale.
     grad_clip_norm: 'Optional[float]' = None
