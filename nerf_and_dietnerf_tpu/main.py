@@ -61,7 +61,21 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     if args.distributed:
-        jax.distributed.initialize()
+        # On TPU pods / SLURM / MPI jax auto-detects everything. Elsewhere
+        # (e.g. hand-launched CPU processes) the standard JAX_* env triple
+        # configures the coordination service explicitly.
+        import os
+
+        kwargs = {}
+        for env, kw, cast in (
+            ("JAX_COORDINATOR_ADDRESS", "coordinator_address", str),
+            ("JAX_NUM_PROCESSES", "num_processes", int),
+            ("JAX_PROCESS_ID", "process_id", int),
+        ):
+            value = os.environ.get(env)
+            if value is not None:
+                kwargs[kw] = cast(value)
+        jax.distributed.initialize(**kwargs)
 
     import contextlib
 

@@ -222,7 +222,10 @@ def render_rays_train(
             config.compute_dtype,
         )
     if config.backend in ("pallas", "pallas_mlp") and config.fuse_compositing:
-        # Production fast path: XLA computes the packed encodings (per-sample
+        # Opt-in research fused-compositing path (off by default — measured
+        # SLOWER than the production pallas MLP path, 38.7 vs 28.4 ms/step;
+        # kept quarantined in ops/research_kernels with its negative result).
+        # XLA computes the packed encodings (per-sample
         # xyz in ray-major row order; view-dirs PER-RAY — never broadcast to
         # samples in HBM), the kernel fuses MLP + compositing + their VJPs.
         from nerf_and_dietnerf_tpu.ops import research_kernels

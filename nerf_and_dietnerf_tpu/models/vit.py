@@ -203,14 +203,43 @@ def load_pretrained(path, config: ViTConfig = ViTConfig()) -> Params:
     return _from_hf_state_dict(sd, config)
 
 
-def save_npz(path, params: Params) -> None:
-    """Export weights in this module's flat ``.npz`` layout."""
+_CONFIG_KEY = "_vit_config"  # npz metadata: geometry of the saved backbone
+
+
+def save_npz(path, params: Params, config: "ViTConfig | None" = None) -> None:
+    """Export weights in this module's flat ``.npz`` layout.
+
+    :param config: when given, the geometry is embedded in the file so
+        loaders (e.g. a scene-trained small embedder via ``--vit-weights``)
+        can reconstruct the right :class:`ViTConfig` without out-of-band
+        knowledge."""
     leaves, _ = jax.tree_util.tree_flatten_with_path(params)
     flat = {}
     for keypath, leaf in leaves:
         name = ".".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
         flat[name] = np.asarray(leaf)
+    if config is not None:
+        flat[_CONFIG_KEY] = np.asarray(
+            [config.image_size, config.patch_size, config.hidden_dim,
+             config.n_layers, config.n_heads, config.mlp_dim], np.int64
+        )
     np.savez(path, **flat)
+
+
+def infer_config(path) -> "ViTConfig | None":
+    """Read the geometry embedded by :func:`save_npz`, or None when the file
+    is not an npz / carries no metadata (HF checkpoints are always B/32)."""
+    path = str(path)
+    if not path.endswith(".npz"):
+        return None
+    with np.load(path) as flat:
+        if _CONFIG_KEY not in flat:
+            return None
+        vals = [int(v) for v in flat[_CONFIG_KEY]]
+    return ViTConfig(
+        image_size=vals[0], patch_size=vals[1], hidden_dim=vals[2],
+        n_layers=vals[3], n_heads=vals[4], mlp_dim=vals[5],
+    )
 
 
 def _from_hf_state_dict(sd, config: ViTConfig) -> Params:

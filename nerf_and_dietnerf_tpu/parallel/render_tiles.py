@@ -102,6 +102,13 @@ def render_image_sharded(
     zs = [p[1] for p in parts]
     merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:n_rays], *results)
     z = jnp.concatenate(zs, axis=0)[:n_rays]
+    if jax.process_count() > 1:
+        # Multi-controller: the tiles live sharded across processes, and the
+        # host-side reshape/np.asarray below needs the full frame. A jitted
+        # identity with replicated out-sharding is the XLA all-gather; a
+        # fully-replicated global array is host-readable on every process.
+        gather = jax.jit(lambda t: t, out_shardings=repl)
+        merged, z = gather((merged, z))
     return (
         RenderResult(
             rgb=merged.rgb.reshape(height, width, 3),

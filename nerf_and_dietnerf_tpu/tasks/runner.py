@@ -255,7 +255,7 @@ class Runner:
         return render_tiles.render_frame(
             params, self.render_config, self.mesh, key,
             np.asarray(c2w, np.float32), ds.field_of_view, ds.height, ds.width,
-            chunk_size=self.run.n_rays_in_batch_render,
+            chunk_size=self.run.offline_chunk_size(),
             diagnostics=diagnostics,
         )
 

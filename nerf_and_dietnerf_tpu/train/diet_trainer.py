@@ -41,6 +41,17 @@ class DietTrainer(Trainer):
         vit_weights: Optional[str] = None,
     ):
         super().__init__(run, dataset, save_dir, mesh=mesh, epoch_callback=epoch_callback)
+
+        if vit_weights:
+            # A checkpoint exported by vit.save_npz can carry its own
+            # geometry (e.g. the scene-trained small embedder from
+            # tools/train_scene_embedder.py); adopt it so --vit-weights works
+            # for any backbone size, not just B/32.
+            import dataclasses as _dc
+
+            inferred = vit.infer_config(vit_weights)
+            if inferred is not None and inferred != diet.vit:
+                diet = _dc.replace(diet, vit=inferred)
         self.diet = diet
 
         if vit_weights:

@@ -120,6 +120,20 @@ class Trainer:
         )
         self.start_epoch = 0
         self._maybe_resume()
+        if mesh is not None:
+            # Commit the state to the mesh's replicated sharding up front. In
+            # multi-controller runs (process_count > 1) this is REQUIRED:
+            # jit cannot re-place process-local arrays onto a sharding that
+            # spans non-addressable devices, so freshly-initialized or
+            # checkpoint-restored host-local state must be explicitly
+            # device_put as a global replicated array. Round-trip through
+            # host numpy: device_put of a device-committed array onto a
+            # sharding spanning other processes is a cross-host *transfer*
+            # (unsupported off-DCN), while a host value is replicated from
+            # every process's own copy.
+            self.state = jax.device_put(
+                jax.device_get(self.state), mesh_lib.replicated(mesh)
+            )
 
         self._step = ts.make_train_step(self.config, self.optimizer, mesh=mesh)
         self._epoch_fn = None
@@ -146,10 +160,23 @@ class Trainer:
             params = checkpoint.load_keras_h5(
                 h5, self.config.mlp, has_fine=self.config.has_fine
             )
+            step = epoch * self.data.batches_per_epoch
+            # The .h5 carries weights only, so Adam moments restart from zero
+            # (matching the reference's resume, src/ExecutionRun.py:228-231)
+            # — but the optimizer's internal step count must fast-forward:
+            # with optimizer_lr_final set, a zero count would restart the
+            # exponential lr schedule at the initial lr (up to lr0/lr_final x
+            # the intended decayed lr) for the rest of the run.
+            import optax.tree_utils as otu
+
+            opt_state = self.optimizer.init(params)
+            opt_state = otu.tree_set(
+                opt_state, count=jnp.asarray(step, jnp.int32)
+            )
             self.state = ts.TrainState(
                 params=params,
-                opt_state=self.optimizer.init(params),
-                step=jnp.asarray(epoch * self.data.batches_per_epoch, jnp.int32),
+                opt_state=opt_state,
+                step=jnp.asarray(step, jnp.int32),
             )
         self.start_epoch = epoch
         mgr = checkpoint.CheckpointManager(self.save_dir / "orbax")
@@ -297,7 +324,7 @@ class Trainer:
             result, _ = render_tiles.render_frame(
                 self.state.params, self.eval_config, self.mesh, key,
                 ds.camera_poses[idx], ds.field_of_view, ds.height, ds.width,
-                chunk_size=self.run.n_rays_in_batch_render,
+                chunk_size=self.run.offline_chunk_size(),
                 diagnostics=False,
             )
             renders[name] = (idx, np.asarray(result.rgb))

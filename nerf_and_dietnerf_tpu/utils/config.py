@@ -108,6 +108,14 @@ class RunConfig:
     # measured late-phase oscillation at constant lr on the 256px flagship
     # (see train_step.make_optimizer_with_schedule).
     optimizer_lr_final: 'Optional[float]' = None
+    # Chunk size for OFFLINE full-frame renders (per-epoch eval, videos,
+    # special plots). None = auto (32768, the measured-optimal f32 chunk on
+    # one v5e: 0.343 s/frame at 32768 vs 0.372 at 16384, BENCH_RENDER.json —
+    # and each halving below that pays an extra ~3 ms dispatch tax per
+    # chunk). Decoupled from n_rays_in_batch_render, whose stock values are
+    # sized for the reference's GPU memory (src/NeRF.py:211-218) and cost
+    # minutes of avoidable dispatch on a 720-frame orbit.
+    offline_render_chunk: 'Optional[int]' = None
     # DietNeRF without pretrained ViT weights is a measurably quality-LOSING
     # mode (random-init embedder: -1.83 dB vs consistency-off on the 50px
     # few-shot A/B, runs/diet_ab_50px/RESULTS.md). Refuse to train it unless
@@ -152,6 +160,15 @@ class RunConfig:
             backend=self.backend,
             stop_fine_z_grad=self.stop_fine_z_grad,
         )
+
+    # Auto chunk for offline renders (see offline_render_chunk above).
+    OFFLINE_RENDER_CHUNK_AUTO = 32768
+
+    def offline_chunk_size(self) -> int:
+        """Rays per jitted call for offline/eval full-frame renders."""
+        if self.offline_render_chunk is not None:
+            return self.offline_render_chunk
+        return max(self.OFFLINE_RENDER_CHUNK_AUTO, self.n_rays_in_batch_render)
 
     @property
     def is_dietnerf(self) -> bool:
@@ -232,10 +249,34 @@ def make_save_dir(config: RunConfig, config_path=None) -> Path:
         if not save_dir.is_dir():
             raise FileNotFoundError(f"existing_save_dir_name not found: {save_dir}")
         return save_dir
-    n = 0
-    while (base / f"{config.config_name}_save_dir_{n}").exists():
-        n += 1
-    save_dir = base / f"{config.config_name}_save_dir_{n}"
+
+    def highest_n() -> int:
+        n = 0
+        while (base / f"{config.config_name}_save_dir_{n}").exists():
+            n += 1
+        return n
+
+    import jax
+
+    if jax.process_count() > 1:
+        # Multi-controller: the auto-increment scan is racy across processes
+        # (two ranks could claim different n and then deadlock in Orbax, which
+        # requires every process to checkpoint into the SAME directory).
+        # Process 0 creates the directory; everyone else barriers on the
+        # coordination service, then adopts the newest existing dir.
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            save_dir = base / f"{config.config_name}_save_dir_{highest_n()}"
+            save_dir.mkdir(parents=True)
+            if config_path is not None:
+                shutil.copy(config_path, save_dir / Path(config_path).name)
+        multihost_utils.sync_global_devices("make_save_dir")
+        if jax.process_index() != 0:
+            save_dir = base / f"{config.config_name}_save_dir_{highest_n() - 1}"
+        return save_dir
+
+    save_dir = base / f"{config.config_name}_save_dir_{highest_n()}"
     save_dir.mkdir(parents=True)
     if config_path is not None:
         shutil.copy(config_path, save_dir / Path(config_path).name)

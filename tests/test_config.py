@@ -77,3 +77,66 @@ def test_save_dir_autoincrement(tmp_path):
     assert d1.name == "runA_save_dir_1"
     cfg.existing_save_dir_name = "runA_save_dir_0"
     assert cfg_lib.make_save_dir(cfg) == d0
+
+
+# ---------------------------------------------------------------------------
+# Translated stock corpus (config_files/stock/, tools/translate_reference_configs.py)
+# ---------------------------------------------------------------------------
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+STOCK = REPO_ROOT / "config_files" / "stock"
+
+# These reference configs point at asset sets the reference never committed
+# (FlowersColmap3, GladiatorColmap) — translated for documentation, not
+# runnable anywhere.
+ASSETS_NOT_SHIPPED_UPSTREAM = {
+    "256x_flowers3_83pics_half_sphere_dietnerf.yaml",
+    "256x_flowers3_83pics_half_sphere_nerf.yaml",
+    "50x_flowers3_83pics_half_sphere_nerf.yaml",
+    "256px_gladiator_7pics_l_to_r_angle1.yaml",
+}
+
+
+def _scene_image_count(dataset_dir: Path) -> int:
+    import json
+
+    cam_json = dataset_dir / "cam_data.json"
+    if cam_json.exists():
+        with open(cam_json) as f:
+            return len(json.load(f)["frames"])
+    return len(
+        [p for p in dataset_dir.iterdir() if p.suffix.lower() in (".jpg", ".png")]
+    )
+
+
+def test_translated_corpus_complete():
+    """All 47 stock reference configs have a translated counterpart."""
+    ref_names = {p.name for p in REF_CONFIGS.glob("*.yaml")}
+    stock_names = {p.name for p in STOCK.glob("*.yaml")}
+    assert stock_names == ref_names
+    assert len(stock_names) == 47
+
+
+def test_every_translated_config_loads_and_is_runnable():
+    """Each translated config parses into a valid RunConfig; the 43 with
+    shipped assets point at an existing dataset whose image count covers the
+    config's image indices (test/plot/few-shot/path-video)."""
+    for path in sorted(STOCK.glob("*.yaml")):
+        cfg = cfg_lib.load_config(path)
+        assert cfg.starting_epoch_number == -1, path.name
+        assert cfg.existing_save_dir_name is None, path.name
+        assert "\\" not in cfg.dataset_location, path.name
+        cfg.nerf_config()  # derives a valid jit-static model config
+
+        if path.name in ASSETS_NOT_SHIPPED_UPSTREAM:
+            continue
+        dataset_dir = REPO_ROOT / cfg.dataset_location
+        assert dataset_dir.is_dir(), path.name
+        n = _scene_image_count(dataset_dir)
+        assert n > 0, path.name
+        assert cfg.test_img_idx < n, path.name
+        assert cfg.idx_train_img_to_plot < n, path.name
+        for idx in cfg.pics_indices_to_use_in_dataset or []:
+            assert idx < n, (path.name, idx)
+        for idx in cfg.video.img_indices_for_path_video:
+            assert idx < n, (path.name, idx)

