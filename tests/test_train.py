@@ -391,3 +391,49 @@ def test_h5_resume_fast_forwards_optimizer_count(tmp_path):
     ]
     assert counts and all(c == 2 * per_epoch for c in counts), counts
     assert int(resumed.state.step) == 2 * per_epoch
+
+
+def test_resume_equivalence_exact(tmp_path):
+    """Train 4 epochs straight vs train 2 + fresh Trainer + Orbax-resume + 2:
+    the deterministic PRNGKey(epoch) design makes the two trajectories EXACT
+    (any drift is a latent resume bug — VERDICT r04 weak #3)."""
+    from nerf_and_dietnerf_tpu.data.loaders import Dataset
+    from nerf_and_dietnerf_tpu.train.trainer import Trainer
+    from nerf_and_dietnerf_tpu.utils.config import RunConfig
+
+    rng = np.random.default_rng(0)
+    h = w = 12
+    images = rng.uniform(size=(3, h, w, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    poses[:, 2, 3] = [2.0, 2.2, 2.4]
+    ds = Dataset(
+        images=images, camera_poses=poses, field_of_view=0.8,
+        near=0.5, far=3.0, average_c2w_before_recenter=np.eye(4), scale=1.0,
+    )
+    base = dict(
+        hidden_layer_dim=16, last_hidden_layer_dim=8,
+        n_pos_enc_dim_xyz=2, n_pos_enc_view_dir=2,
+        n_render_samples_coarse=4, n_render_samples_fine=4,
+        near_depth_render=0.5, far_depth_render=3.0,
+        n_rays_in_batch_train=72, n_rays_in_batch_render=144,
+        test_img_idx=0, idx_train_img_to_plot=1, compute_dtype="float32",
+    )
+
+    straight = Trainer(RunConfig(**base, n_epochs=4), ds, tmp_path / "a")
+    straight.fit(log=None)
+
+    Trainer(RunConfig(**base, n_epochs=2), ds, tmp_path / "b").fit(log=None)
+    resumed = Trainer(
+        RunConfig(**base, n_epochs=4, starting_epoch_number=2), ds, tmp_path / "b"
+    )
+    resumed.fit(log=None)
+
+    # Bit-exact: same platform, same program, same keys.
+    hist_a = np.load(tmp_path / "a" / "saved_test_train_psnrs" / "psnrs_train_test_004.npy")
+    hist_b = np.load(tmp_path / "b" / "saved_test_train_psnrs" / "psnrs_train_test_004.npy")
+    np.testing.assert_array_equal(hist_a, hist_b)
+    for pa, pb in zip(
+        jax.tree.leaves(jax.device_get(straight.state.params)),
+        jax.tree.leaves(jax.device_get(resumed.state.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
