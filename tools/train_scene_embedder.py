@@ -182,19 +182,23 @@ def main() -> int:
     )
     opt_state = opt.init(all_params)
 
-    def step(carry, k):
-        p, s = carry
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, k, images_dev
-        )
-        updates, s = opt.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return (p, s), (loss, acc)
-
     images_dev = jnp.asarray(corpus)
 
+    # The corpus MUST be a traced argument, not a closure constant — a
+    # closed-over (n, 256, 256, 3) array gets baked into the HLO as a
+    # literal (hundreds of MB), which the remote compile server rejects
+    # (HTTP 413) and which would bloat any compile cache.
     @jax.jit
-    def run_scan(p, s, k):
+    def run_scan(p, s, k, images):
+        def step(carry, k):
+            p, s = carry
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, k, images
+            )
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), (loss, acc)
+
         keys = jax.random.split(k, args.scan_steps)
         (p, s), (losses, accs) = jax.lax.scan(step, (p, s), keys)
         return p, s, losses.mean(), accs[-1]
@@ -204,7 +208,7 @@ def main() -> int:
     while done < args.steps:
         key, k_round = jax.random.split(key)
         all_params, opt_state, mean_loss, last_acc = run_scan(
-            all_params, opt_state, k_round
+            all_params, opt_state, k_round, images_dev
         )
         # Host materialization as the timing/progress fence.
         mean_loss = float(mean_loss)
