@@ -46,11 +46,12 @@ DEFAULT_CORPUS = [
 
 
 def load_corpus(dirs, size: int):
+    """Returns (images (N,size,size,3), scene_id (N,) int32)."""
     import imageio.v2 as imageio
     import numpy as np
 
-    images = []
-    for d in dirs:
+    images, scene_ids = [], []
+    for sid, d in enumerate(dirs):
         d = Path(d) if Path(d).is_absolute() else REPO / d
         files = sorted(
             p for p in d.iterdir() if p.suffix.lower() in (".jpg", ".png")
@@ -58,6 +59,7 @@ def load_corpus(dirs, size: int):
         for p in files:
             img = np.asarray(imageio.imread(p), np.float32)[..., :3] / 255.0
             images.append(img)
+            scene_ids.append(sid)
     # Uniform square size so the corpus is one device array.
     import jax
     import jax.numpy as jnp
@@ -68,7 +70,7 @@ def load_corpus(dirs, size: int):
         )
         for im in images
     ]
-    return np.stack(resized)
+    return np.stack(resized), np.asarray(scene_ids, np.int32)
 
 
 def main() -> int:
@@ -87,6 +89,14 @@ def main() -> int:
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--mlp-dim", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--positives", choices=("augment", "view"), default="augment",
+        help="'augment': SimCLR (two crops of the SAME image are the "
+        "positive pair — instance discrimination, which SEPARATES views of "
+        "one object). 'view': two DIFFERENT views of the same scene are the "
+        "positive pair — trains exactly the view-invariant 'same object "
+        "from any viewpoint' property DietNeRF's consistency loss assumes.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -100,8 +110,21 @@ def main() -> int:
 
     from nerf_and_dietnerf_tpu.models import vit
 
-    corpus = load_corpus(args.scenes or DEFAULT_CORPUS, args.corpus_size)
-    print(f"corpus: {corpus.shape[0]} images @ {args.corpus_size}px")
+    corpus, scene_ids = load_corpus(args.scenes or DEFAULT_CORPUS, args.corpus_size)
+    print(
+        f"corpus: {corpus.shape[0]} images @ {args.corpus_size}px, "
+        f"{scene_ids.max() + 1} scenes, positives={args.positives}"
+    )
+    # Per-scene contiguous ranges for cross-view positive sampling.
+    import numpy as _np
+
+    n_scenes = int(scene_ids.max()) + 1
+    scene_start = _np.asarray(
+        [int(_np.searchsorted(scene_ids, s)) for s in range(n_scenes)], _np.int32
+    )
+    scene_count = _np.asarray(
+        [int((scene_ids == s).sum()) for s in range(n_scenes)], _np.int32
+    )
 
     cfg = vit.ViTConfig(
         image_size=224, patch_size=32, hidden_dim=args.hidden,
@@ -159,12 +182,25 @@ def main() -> int:
     n_images = corpus.shape[0]
     temp = args.temp
 
+    scene_of = jnp.asarray(scene_ids)
+    starts = jnp.asarray(scene_start)
+    counts = jnp.asarray(scene_count)
+
     def loss_fn(p, k, images):
-        kb, ka1, ka2 = jax.random.split(k, 3)
+        kb, kv, ka1, ka2 = jax.random.split(k, 4)
         idx = jax.random.randint(kb, (args.batch,), 0, n_images)
-        batch = images[idx]
-        v1 = jax.vmap(augment)(jax.random.split(ka1, args.batch), batch)
-        v2 = jax.vmap(augment)(jax.random.split(ka2, args.batch), batch)
+        if args.positives == "view":
+            # Positive partner = a different (usually) view of the SAME
+            # scene, drawn uniformly from that scene's contiguous range.
+            s = scene_of[idx]
+            offs = jax.random.randint(
+                kv, (args.batch,), 0, 1_000_000
+            ) % counts[s]
+            idx2 = starts[s] + offs
+        else:
+            idx2 = idx
+        v1 = jax.vmap(augment)(jax.random.split(ka1, args.batch), images[idx])
+        v2 = jax.vmap(augment)(jax.random.split(ka2, args.batch), images[idx2])
         z = embed(p, jnp.concatenate([v1, v2], axis=0))  # (2B, 128)
         sim = (z @ z.T) / temp
         n = 2 * args.batch
