@@ -237,3 +237,21 @@ def test_cli_distributed_flag(tmp_path):
     assert not (save_root / "tiny_save_dir_1").exists()
     assert (save_dir / "saved_weights" / "NeRF_model_epoch_001.h5").exists()
     assert (save_dir / "orbax").is_dir()
+
+
+@pytest.mark.slow
+def test_two_process_dietnerf(tmp_path):
+    """The DietNeRF per-step dispatch path under a real 2-process mesh: the
+    host-sampled novel pose, target embedding, and (frozen) vit_params all
+    cross into the multihost-sharded diet step; both ranks must agree."""
+    _spawn_workers(tmp_path, 2, 2, ["--epochs", "2", "--diet"])
+    r0 = _load(tmp_path, "result_rank0.json")
+    r1 = _load(tmp_path, "result_rank1.json")
+    np.testing.assert_array_equal(r0["losses"], r1["losses"])
+    assert r0["params_fingerprint"] == r1["params_fingerprint"]
+
+    sp_dir = tmp_path / "sp"
+    sp_dir.mkdir()
+    _spawn_workers(sp_dir, 1, 4, ["--epochs", "2", "--diet"])
+    sp = _load(sp_dir, "result_sp.json")
+    np.testing.assert_allclose(r0["losses"], sp["losses"], rtol=1e-6)

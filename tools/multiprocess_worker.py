@@ -41,6 +41,12 @@ def main() -> int:
         "--start-epoch", type=int, default=-1,
         help=">=0: resume from this epoch's checkpoint (starting_epoch_number)",
     )
+    p.add_argument(
+        "--diet", action="store_true",
+        help="DietNeRF trainer (tiny embedder, interval 3): exercises the "
+        "per-step diet dispatch with vit_params/c2w/targets crossing into "
+        "the multihost-sharded jit",
+    )
     args = p.parse_args()
 
     import jax
@@ -64,10 +70,11 @@ def main() -> int:
     # Deterministic synthetic scene — identical on every rank by seed.
     rng = np.random.default_rng(0)
     h = w = 12
-    images = rng.uniform(size=(3, h, w, 3)).astype(np.float32)
-    poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
-    poses[:, 2, 3] = [2.0, 2.2, 2.4]
-    poses[:, 0, 3] = [0.0, 0.1, 0.2]
+    n_imgs = 5  # >= 4 so the DietNeRF slerp pose sampler has 3 train poses
+    images = rng.uniform(size=(n_imgs, h, w, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * n_imgs)
+    poses[:, 2, 3] = 2.0 + 0.2 * np.arange(n_imgs)
+    poses[:, 0, 3] = 0.1 * np.arange(n_imgs)
     ds = Dataset(
         images=images, camera_poses=poses, field_of_view=0.8,
         near=0.5, far=3.0, average_c2w_before_recenter=np.eye(4), scale=1.0,
@@ -87,7 +94,25 @@ def main() -> int:
 
     mesh = mesh_lib.make_mesh()  # all global devices, both processes
     save_dir = f"{args.out}/shared_run"
-    trainer = Trainer(run, ds, save_dir, mesh=mesh)
+    if args.diet:
+        from nerf_and_dietnerf_tpu.models import vit as vit_lib
+        from nerf_and_dietnerf_tpu.models.dietnerf import DietConfig
+        from nerf_and_dietnerf_tpu.train.diet_trainer import DietTrainer
+
+        run = RunConfig(**{
+            **run.__dict__, "type_of_model": "DietNeRF",
+            "allow_random_embedder": True, "on_device_epoch": False,
+        })
+        tiny_diet = DietConfig(
+            interval=3, cs_image_size=16, cs_samples=4, cs_chunk_rays=64,
+            vit=vit_lib.ViTConfig(
+                image_size=32, patch_size=16, hidden_dim=32, n_layers=2,
+                n_heads=4, mlp_dim=64,
+            ),
+        )
+        trainer = DietTrainer(run, ds, save_dir, mesh=mesh, diet=tiny_diet)
+    else:
+        trainer = Trainer(run, ds, save_dir, mesh=mesh)
     if args.start_epoch >= 0:
         assert trainer.start_epoch == args.start_epoch
 
