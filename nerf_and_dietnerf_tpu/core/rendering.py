@@ -36,11 +36,21 @@ class RenderResult(NamedTuple):
     sample_rgb: jnp.ndarray  # (..., S, 3) per-sample sigmoid(rgb)
 
 
-def composite(raw: jnp.ndarray, z_values: jnp.ndarray) -> RenderResult:
+def composite(
+    raw: jnp.ndarray, z_values: jnp.ndarray, sigma_noise=None
+) -> RenderResult:
     """Alpha-composite raw MLP outputs along the sample axis.
 
     :param raw: ``(..., S, 4)`` raw network output (rgb logits + sigma logit).
     :param z_values: ``(..., S)`` z of each sample.
+    :param sigma_noise: optional ``(..., S)`` zero-mean noise added to the
+        density preactivation before the relu (train-time only; the
+        bmild/nerf ``raw_noise_std`` regularizer). None = reference-exact
+        (``src/UtilsNeuralRadianceField.py:88-115`` has no noise). Besides
+        regularizing, this is the principled fix for the dead-density init
+        lottery: a dead relu head (all preactivations < 0) gets gradient
+        whenever the noise pushes a sample across zero, so it cannot stay
+        dead (measured: runs/robot8_diet_ab_r05/RESULTS.md).
     :return: :class:`RenderResult` (all float32).
 
     Reference behavior: ``src/UtilsNeuralRadianceField.py:88-115``
@@ -49,7 +59,10 @@ def composite(raw: jnp.ndarray, z_values: jnp.ndarray) -> RenderResult:
     raw = jnp.asarray(raw, jnp.float32)
     z_values = jnp.asarray(z_values, jnp.float32)
 
-    sigma = jnp.maximum(raw[..., 3], 0.0)
+    sigma_preact = raw[..., 3]
+    if sigma_noise is not None:
+        sigma_preact = sigma_preact + sigma_noise
+    sigma = jnp.maximum(sigma_preact, 0.0)
     sample_rgb = jax_sigmoid(raw[..., :3])
 
     delta = jnp.diff(z_values, axis=-1)

@@ -51,6 +51,15 @@ class MLPConfig:
     n_freq_xyz: int = 5
     n_freq_dir: int = 4
     n_angles: int = 2
+    # Initial bias of the relu-density head. 0.0 is the reference-exact
+    # Keras default. On black-background frontal scenes a zero-bias draw can
+    # be born with (near-)all-negative sigma preactivations — relu' kills the
+    # density gradient and the net renders black forever (the init lottery:
+    # 4 of 5 seeds dead on 256px robot 8-pic l_to_r,
+    # runs/robot8_diet_ab_r05/RESULTS.md). A small positive bias keeps a
+    # healthy fraction of the head alive for EVERY draw (YAML key
+    # `sigma_bias_init`).
+    sigma_bias_init: float = 0.0
 
     @property
     def xyz_dim(self) -> int:
@@ -102,6 +111,8 @@ def init_params(key, config: MLPConfig) -> Params:
         params["rgb_hidden"] = _dense_params(next(keys), h, config.last_hidden_dim)
         params["rgb_out"] = _dense_params(next(keys), config.last_hidden_dim, 3)
         params["sigma_out"] = _dense_params(next(keys), h, 1)
+    if config.sigma_bias_init:
+        params["sigma_out"]["bias"] = jnp.full((1,), config.sigma_bias_init, jnp.float32)
     return params
 
 

@@ -69,6 +69,17 @@ class NeRFConfig:
     # one-hot-einsum resampling VJP (no scatters) the flowing-gradient path
     # costs only ~7% (33.2 vs 30.9 ms/step measured on v5e).
     stop_fine_z_grad: bool = False
+    # Train-time zero-mean gaussian noise on the density preactivation (the
+    # bmild/nerf ``raw_noise_std`` regularizer; YAML key ``sigma_noise_std``).
+    # 0.0 = reference-exact (the Sahar-E reference has no noise,
+    # src/UtilsNeuralRadianceField.py:88-115). Besides regularizing, this is
+    # the reliable fix for the dead-density init lottery on black-background
+    # frontal scenes: seed redraws and sigma_bias_init only shift the draw
+    # (measured 4/5 seeds dead at 256px robot 8-pic, bias rescues 1-2 of 4 —
+    # runs/robot8_diet_ab_r05/RESULTS.md), while preactivation noise gives a
+    # dead relu head gradient signal on every step. Applied only on the
+    # training path (eval/offline renders are noise-free, as in bmild).
+    sigma_noise_std: float = 0.0
     # Train fast path: run alpha-compositing inside the Pallas kernel
     # (``apply_mlp_composited`` for "pallas", ``apply_raymarch_composited``
     # for "pallas_rm") instead of XLA compositing on the raw
@@ -125,6 +136,7 @@ def render_rays(
     rays_orig: jnp.ndarray,
     rays_dirs: jnp.ndarray,
     z_values: jnp.ndarray,
+    sigma_noise=None,
 ) -> RenderResult:
     """Evaluate one network along the given z samples and composite.
 
@@ -162,7 +174,7 @@ def render_rays(
                 mlp_params, config.mlp, rays_orig, rays_dirs, comps, z_values,
                 config.compute_dtype,
             )
-        return rendering.composite(raw, z_values)
+        return rendering.composite(raw, z_values, sigma_noise=sigma_noise)
 
     points = cameras.sample_points_along_rays(rays_orig, rays_dirs, z_values)[..., :3]
     enc_xyz = encoding.encode_xyz(points.reshape(-1, 3), config.mlp.n_freq_xyz)
@@ -178,7 +190,9 @@ def render_rays(
     raw = _mlp_apply(config)(
         mlp_params, config.mlp, enc_xyz, enc_dir, compute_dtype=config.compute_dtype
     )
-    return rendering.composite(raw.reshape(n_rays, n_samples, 4), z_values)
+    return rendering.composite(
+        raw.reshape(n_rays, n_samples, 4), z_values, sigma_noise=sigma_noise
+    )
 
 
 def render_rays_train(
@@ -187,6 +201,7 @@ def render_rays_train(
     rays_orig: jnp.ndarray,
     rays_dirs: jnp.ndarray,
     z_values: jnp.ndarray,
+    noise_key=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Train-path evaluation of one network: ``(rgb, weights)`` only.
 
@@ -198,6 +213,17 @@ def render_rays_train(
     ``(rays * samples, 4)`` radiance never touches HBM and the compositing
     VJP runs in-kernel.
     """
+    sigma_noise = None
+    if config.sigma_noise_std > 0.0 and noise_key is not None:
+        if config.fuse_compositing or config.fuse_fine_loss:
+            raise ValueError(
+                "sigma_noise_std requires the XLA compositing path; disable "
+                "fuse_compositing / fuse_fine_loss (research kernels "
+                "composite in-kernel without a noise input)"
+            )
+        sigma_noise = config.sigma_noise_std * jax.random.normal(
+            noise_key, z_values.shape, jnp.float32
+        )
     if config.backend == "pallas_rm" and config.fuse_compositing:
         # NOTE: the fused raymarch kernels return structural-zero cotangents
         # for rays_orig / rays_dirs / view components (only dparams and dz are
@@ -247,7 +273,9 @@ def render_rays_train(
             mlp_params, config.mlp, enc_xyz, enc_dir, z_values,
             config.compute_dtype,
         )
-    result = render_rays(mlp_params, config, rays_orig, rays_dirs, z_values)
+    result = render_rays(
+        mlp_params, config, rays_orig, rays_dirs, z_values, sigma_noise=sigma_noise
+    )
     return result.rgb, result.weights
 
 
@@ -306,6 +334,7 @@ def _fine_mse(
     rays_dirs: jnp.ndarray,
     z_fine: jnp.ndarray,
     target_rgb: jnp.ndarray,
+    noise_key=None,
 ) -> jnp.ndarray:
     """Fine-pass MSE over the given z samples — the backend-branching part of
     the training objective, shared by :func:`training_losses` (production) and
@@ -335,7 +364,7 @@ def _fine_mse(
             rays_dirs, target_rgb, config.compute_dtype,
         )
     rgb_fine, _ = render_rays_train(
-        params_fine, config, rays_orig, rays_dirs, z_fine
+        params_fine, config, rays_orig, rays_dirs, z_fine, noise_key=noise_key
     )
     return jnp.mean(jnp.square(target_rgb - rgb_fine))
 
@@ -354,12 +383,17 @@ def training_losses(
         ``psnr_fine`` matching the reference's train-step metric dict
         (``src/NeRF.py:169-178``).
     """
-    k_strat, k_resample = jax.random.split(key)
+    k_strat, k_resample, k_noise_c, k_noise_f = jax.random.split(key, 4)
+    # Noise keys are derived unconditionally but only *consumed* when
+    # sigma_noise_std > 0, so the std=0 default is bit-identical in its
+    # stratification/resampling stream regardless of the knob existing.
+    noise_on = config.sigma_noise_std > 0.0
     z = sampling.stratified_z_values(
         k_strat, config.near, config.far, (rays_orig.shape[0],), config.n_samples_coarse
     )
     rgb_coarse, weights_coarse = render_rays_train(
-        params["coarse"], config, rays_orig, rays_dirs, z
+        params["coarse"], config, rays_orig, rays_dirs, z,
+        noise_key=k_noise_c if noise_on else None,
     )
     mse_coarse = jnp.mean(jnp.square(target_rgb - rgb_coarse))
     loss = mse_coarse
@@ -372,7 +406,8 @@ def training_losses(
         if config.stop_fine_z_grad:
             z_fine = jax.lax.stop_gradient(z_fine)
         mse_fine = _fine_mse(
-            params["fine"], config, rays_orig, rays_dirs, z_fine, target_rgb
+            params["fine"], config, rays_orig, rays_dirs, z_fine, target_rgb,
+            noise_key=k_noise_f if noise_on else None,
         )
         loss = loss + mse_fine
         metrics["psnr_fine"] = rendering.psnr_from_mse(mse_fine)

@@ -99,6 +99,18 @@ class RunConfig:
     # exactly the all-black PSNR). The reference hardcodes its framework's
     # init draw; changing the seed redraws the lottery.
     init_seed: int = 0
+    # Initial bias of the relu-density head (0.0 = reference-exact Keras
+    # default). Opt-in robustness knob: a small positive value (e.g. 0.5)
+    # removes the dead-density init lottery on black-background frontal
+    # scenes entirely instead of redrawing it (see models/mlp.MLPConfig and
+    # runs/robot8_diet_ab_r05/RESULTS.md).
+    sigma_bias_init: float = 0.0
+    # Train-time gaussian noise std on the density preactivation (bmild's
+    # raw_noise_std; 0.0 = reference-exact). The RELIABLE dead-density fix:
+    # unlike seed redraws / bias shifts it gives a dead relu head gradient
+    # signal on every step (see models/nerf.NeRFConfig.sigma_noise_std and
+    # runs/robot8_diet_ab_r05/RESULTS.md).
+    sigma_noise_std: float = 0.0
     # Optional global-norm gradient clip (null = reference behavior, no
     # clipping). See train_step.make_optimizer for the measured rationale.
     grad_clip_norm: 'Optional[float]' = None
@@ -151,6 +163,7 @@ class RunConfig:
                 n_freq_xyz=self.n_pos_enc_dim_xyz,
                 n_freq_dir=self.n_pos_enc_view_dir,
                 n_angles=self.n_angles_for_model,
+                sigma_bias_init=self.sigma_bias_init,
             ),
             n_samples_coarse=self.n_render_samples_coarse,
             n_samples_fine=self.n_render_samples_fine,
@@ -159,6 +172,7 @@ class RunConfig:
             compute_dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32,
             backend=self.backend,
             stop_fine_z_grad=self.stop_fine_z_grad,
+            sigma_noise_std=self.sigma_noise_std,
         )
 
     # Auto chunk for offline renders (see offline_render_chunk above).

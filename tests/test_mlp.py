@@ -90,3 +90,29 @@ def test_glorot_init_statistics():
     assert np.abs(w).max() <= limit
     assert np.abs(w).max() > 0.8 * limit
     np.testing.assert_allclose(np.asarray(params["trunk"][1]["bias"]), 0.0)
+
+
+def test_sigma_bias_init_knob():
+    """`sigma_bias_init` seeds the relu-density head with a positive bias
+    (dead-init-lottery mitigation, runs/robot8_diet_ab_r05/RESULTS.md);
+    0.0 stays reference-exact."""
+    import jax
+    import numpy as np
+
+    from nerf_and_dietnerf_tpu.models import mlp as mlp_lib
+    from nerf_and_dietnerf_tpu.models.mlp import MLPConfig
+
+    ref = mlp_lib.init_params(jax.random.PRNGKey(0), MLPConfig())
+    assert float(np.asarray(ref["sigma_out"]["bias"])) == 0.0
+
+    biased = mlp_lib.init_params(
+        jax.random.PRNGKey(0), MLPConfig(sigma_bias_init=0.5)
+    )
+    assert float(np.asarray(biased["sigma_out"]["bias"])) == 0.5
+    # Only the sigma bias differs.
+    np.testing.assert_array_equal(
+        np.asarray(ref["sigma_out"]["kernel"]),
+        np.asarray(biased["sigma_out"]["kernel"]),
+    )
+    for a, b in zip(jax.tree.leaves(ref["trunk"]), jax.tree.leaves(biased["trunk"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
